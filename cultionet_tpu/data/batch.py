@@ -1,0 +1,181 @@
+"""The batch container: a JAX pytree of device tensors + host metadata.
+
+TPU-native counterpart of the reference ``Data`` object
+(data/data.py:51-318). Tensor layout differences from the reference:
+
+- ``x`` is channel-LAST time series: ``(B, T, H, W, C)`` (reference uses
+  ``(B, C, T, H, W)``).
+- geo-bounds and lat/lon are plain ``(B,)`` float arrays.
+
+Host-side metadata (``batch_id`` file names, window offsets for prediction
+stitching) ride along as static aux data, invisible to jit.
+"""
+
+import typing as T
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+Array = jax.Array
+
+
+@struct.dataclass
+class Batch:
+    """One (mini)batch of chips."""
+
+    x: Array  # (B, T, H, W, C) float
+    y: T.Optional[Array] = None  # (B, H, W) int, -1 = unlabeled (weak mask)
+    bdist: T.Optional[Array] = None  # (B, H, W) float in [0, 1]
+    lat: T.Optional[Array] = None  # (B,) chip-centroid latitude (degrees)
+    lon: T.Optional[Array] = None  # (B,) chip-centroid longitude (degrees)
+    left: T.Optional[Array] = None  # (B,) geo bounds
+    bottom: T.Optional[Array] = None
+    right: T.Optional[Array] = None
+    top: T.Optional[Array] = None
+    # Prediction-window bookkeeping (reference data/store.py:68-144)
+    window_row_off: T.Optional[Array] = None  # (B,) int
+    window_col_off: T.Optional[Array] = None
+    window_height: T.Optional[Array] = None
+    window_width: T.Optional[Array] = None
+    window_pad_bottom: T.Optional[Array] = None
+    window_pad_right: T.Optional[Array] = None
+    # Host metadata (static; excluded from jit tracing)
+    batch_id: T.Optional[T.Tuple[str, ...]] = struct.field(
+        pytree_node=False, default=None
+    )
+
+    @property
+    def num_samples(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def num_time(self) -> int:
+        return self.x.shape[1]
+
+    @property
+    def num_channels(self) -> int:
+        return self.x.shape[-1]
+
+    @property
+    def height(self) -> int:
+        return self.x.shape[2]
+
+    @property
+    def width(self) -> int:
+        return self.x.shape[3]
+
+    def with_centroids(self) -> "Batch":
+        """Fill lat/lon from geo bounds centroids (reference
+        datasets.py:490-498)."""
+        if self.left is None:
+            return self
+        lon = (self.left + self.right) / 2.0
+        lat = (self.bottom + self.top) / 2.0
+        return self.replace(lat=lat, lon=lon)
+
+    # ------------------------------------------------------------------
+    # Serialization: .npz native format + reference-compatible .pt reader
+    # ------------------------------------------------------------------
+
+    def to_file(self, path: T.Union[str, Path]) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        payload = {}
+        for name, value in self.__dict__.items():
+            if value is None or name == "batch_id":
+                continue
+            payload[name] = np.asarray(value)
+        if self.batch_id is not None:
+            payload["batch_id"] = np.asarray(list(self.batch_id))
+        np.savez_compressed(path, **payload)
+
+    @classmethod
+    def from_file(cls, path: T.Union[str, Path]) -> "Batch":
+        path = Path(path)
+        if path.suffix == ".pt":
+            return cls.from_reference_file(path)
+        with np.load(path, allow_pickle=False) as data:
+            kwargs = {}
+            for name in data.files:
+                if name == "batch_id":
+                    kwargs["batch_id"] = tuple(str(s) for s in data[name])
+                else:
+                    kwargs[name] = jnp.asarray(data[name])
+        return cls(**kwargs)
+
+    @classmethod
+    def from_reference_file(cls, path: T.Union[str, Path]) -> "Batch":
+        """Read a reference-framework joblib ``.pt`` chip (data/data.py:281-307)
+        and convert to this framework's layout."""
+        import joblib
+
+        stored = joblib.load(path)
+        return cls.from_reference_dict(stored, batch_id=(Path(path).name,))
+
+    @classmethod
+    def from_reference_dict(
+        cls, stored: T.Mapping, batch_id: T.Optional[T.Tuple[str, ...]] = None
+    ) -> "Batch":
+        def grab(key):
+            value = stored.get(key)
+            if value is None:
+                return None
+            value = np.asarray(value)
+            return value
+
+        x = grab("x")  # (B, C, T, H, W)
+        if x is None:
+            raise ValueError("Reference chip has no 'x' tensor")
+        x = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))  # -> (B, T, H, W, C)
+
+        def arr(key):
+            value = grab(key)
+            return None if value is None else jnp.asarray(value)
+
+        def scalar(key):
+            value = grab(key)
+            if value is None:
+                return None
+            return jnp.asarray(np.atleast_1d(np.asarray(value, dtype=np.float32)))
+
+        stored_id = stored.get("batch_id")
+        if batch_id is None and stored_id is not None:
+            batch_id = tuple(str(s) for s in stored_id)
+
+        return cls(
+            x=x,
+            y=arr("y"),
+            bdist=arr("bdist"),
+            left=scalar("left"),
+            bottom=scalar("bottom"),
+            right=scalar("right"),
+            top=scalar("top"),
+            window_row_off=arr("window_row_off"),
+            window_col_off=arr("window_col_off"),
+            window_height=arr("window_height"),
+            window_width=arr("window_width"),
+            window_pad_bottom=arr("window_pad_bottom"),
+            window_pad_right=arr("window_pad_right"),
+            batch_id=batch_id,
+        )
+
+
+def collate(batches: T.Sequence[Batch]) -> Batch:
+    """Concatenate per-field along the batch axis (reference
+    data/utils.py:20-68)."""
+    fields = {}
+    first = batches[0]
+    for name, value in first.__dict__.items():
+        if name == "batch_id":
+            ids = [b.batch_id for b in batches if b.batch_id is not None]
+            fields[name] = tuple(s for group in ids for s in group) or None
+        elif value is None:
+            fields[name] = None
+        else:
+            fields[name] = jnp.concatenate(
+                [getattr(b, name) for b in batches], axis=0
+            )
+    return Batch(**fields)

@@ -25,7 +25,6 @@ same shape, matching natten's functional na2d signature.
 """
 
 import typing as T
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +56,7 @@ def neighborhood_attention_2d_ref(
     v: Array,
     kernel_size: int,
     dilation: int = 1,
+    weights_fn: T.Optional[T.Callable[[Array], Array]] = None,
 ) -> Array:
     """Gather-based oracle (exact for any shape)."""
     _, height, width, _, head_dim = q.shape
@@ -87,6 +87,8 @@ def neighborhood_attention_2d_ref(
     logits = jnp.einsum("bhwnd,bhiwjnd->bhwnij", q * scale, k_nbr)
     logits = logits.reshape(*logits.shape[:4], kernel_size * kernel_size)
     weights = jax.nn.softmax(logits, axis=-1)
+    if weights_fn is not None:
+        weights = weights_fn(weights)
     weights = weights.reshape(
         *weights.shape[:4], kernel_size, kernel_size
     )
@@ -115,7 +117,11 @@ def _clamped_shift(x: Array, kernel_size: int, j: int, axis: int) -> Array:
 
 
 def _na2d_dense(
-    q: Array, k: Array, v: Array, kernel_size: int
+    q: Array,
+    k: Array,
+    v: Array,
+    kernel_size: int,
+    weights_fn: T.Optional[T.Callable[[Array], Array]] = None,
 ) -> Array:
     """Dilation-1 core: k*k shifted elementwise dot products, softmax, and a
     weighted sum — no gathers, VPU-only beyond the caller's projections."""
@@ -135,6 +141,8 @@ def _na2d_dense(
 
     logits = jnp.stack(logits, axis=-1)  # (B, H, W, N, k*k)
     weights = jax.nn.softmax(logits, axis=-1)
+    if weights_fn is not None:
+        weights = weights_fn(weights)
 
     out = jnp.zeros_like(v)
     for idx, v_hw in enumerate(shifted_v):
@@ -142,17 +150,21 @@ def _na2d_dense(
     return out
 
 
-@partial(jax.jit, static_argnames=("kernel_size", "dilation"))
 def neighborhood_attention_2d(
     q: Array,
     k: Array,
     v: Array,
     kernel_size: int,
     dilation: int = 1,
+    weights_fn: T.Optional[T.Callable[[Array], Array]] = None,
 ) -> Array:
     """Fused-by-XLA neighborhood attention; exact NATTEN semantics.
 
     q, k, v: (B, H, W, num_heads, head_dim) -> (B, H, W, num_heads, head_dim)
+
+    ``weights_fn`` (optional) is applied to the post-softmax attention
+    weights — used for attention dropout by the NeighborhoodAttention2D
+    module. Callers are expected to jit the enclosing computation.
     """
     _, height, width, _, _ = q.shape
     if min(height, width) < kernel_size * dilation:
@@ -162,7 +174,7 @@ def neighborhood_attention_2d(
         )
 
     if dilation == 1:
-        return _na2d_dense(q, k, v, kernel_size)
+        return _na2d_dense(q, k, v, kernel_size, weights_fn=weights_fn)
 
     if height % dilation == 0 and width % dilation == 0:
         # Coset reshape: d*d independent dilation-1 problems.
@@ -174,12 +186,14 @@ def neighborhood_attention_2d(
             rearrange(k, pattern, **sizes),
             rearrange(v, pattern, **sizes),
             kernel_size,
+            weights_fn=weights_fn,
         )
         return rearrange(out, inverse, **sizes)
 
     # Ragged cosets (H or W not divisible by d): exact gather fallback.
     return neighborhood_attention_2d_ref(
-        q, k, v, kernel_size=kernel_size, dilation=dilation
+        q, k, v, kernel_size=kernel_size, dilation=dilation,
+        weights_fn=weights_fn,
     )
 
 
