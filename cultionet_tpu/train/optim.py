@@ -1,0 +1,107 @@
+"""Optimizer + LR-schedule registry (optax).
+
+Mirrors the reference's optimizer zoo and schedulers
+(lightning.py:611-683): Adam / AdamW(0.9, 0.98) / RAdam / SGD(momentum 0.9),
+CosineAnnealingLR(T_max=20 epochs, eta_min=1e-5) / ExponentialLR(gamma 0.5
+per epoch) / OneCycleLR (per step) / StepLR(gamma 0.5). Torch's epoch-based
+schedulers become per-step schedules using ``steps_per_epoch``.
+"""
+
+import typing as T
+
+import jax.numpy as jnp
+import optax
+
+from ..enums import LearningRateSchedulers
+
+
+def build_schedule(
+    name: str,
+    learning_rate: float,
+    epochs: int,
+    steps_per_epoch: int,
+    steplr_step_size: int = 5,
+) -> optax.Schedule:
+    total_steps = max(1, epochs * steps_per_epoch)
+
+    if name == LearningRateSchedulers.ONE_CYCLE_LR:
+        # torch OneCycleLR defaults: pct_start 0.3, div_factor 25,
+        # final_div_factor 1e4, cosine annealing.
+        return optax.cosine_onecycle_schedule(
+            transition_steps=total_steps,
+            peak_value=learning_rate,
+            pct_start=0.3,
+            div_factor=25.0,
+            final_div_factor=1e4,
+        )
+
+    if name == LearningRateSchedulers.COSINE_ANNEALING_LR:
+        t_max, eta_min = 20.0, 1e-5
+
+        def schedule(step):
+            epoch = jnp.minimum(step // steps_per_epoch, t_max)
+            return eta_min + 0.5 * (learning_rate - eta_min) * (
+                1.0 + jnp.cos(jnp.pi * epoch / t_max)
+            )
+
+        return schedule
+
+    if name == LearningRateSchedulers.EXPONENTIAL_LR:
+        return optax.exponential_decay(
+            init_value=learning_rate,
+            transition_steps=steps_per_epoch,
+            decay_rate=0.5,
+            staircase=True,
+        )
+
+    if name == LearningRateSchedulers.STEP_LR:
+        return optax.exponential_decay(
+            init_value=learning_rate,
+            transition_steps=steps_per_epoch * steplr_step_size,
+            decay_rate=0.5,
+            staircase=True,
+        )
+
+    raise ValueError(f"Unknown LR scheduler: {name}")
+
+
+def build_optimizer(
+    optimizer: str = "AdamW",
+    learning_rate: T.Union[float, optax.Schedule] = 1e-2,
+    weight_decay: float = 1e-4,
+    eps: float = 1e-4,
+    gradient_clip_val: T.Optional[float] = None,
+    accumulate_grad_batches: int = 1,
+) -> optax.GradientTransformation:
+    if optimizer == "Adam":
+        tx = optax.adam(learning_rate, eps=eps)
+    elif optimizer == "AdamW":
+        tx = optax.adamw(
+            learning_rate,
+            b1=0.9,
+            b2=0.98,
+            eps=eps,
+            weight_decay=weight_decay,
+        )
+    elif optimizer == "RAdam":
+        # decoupled weight decay like torch RAdam(decoupled_weight_decay=True)
+        tx = optax.chain(
+            optax.scale_by_radam(b1=0.9, b2=0.99, eps=eps),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+    elif optimizer == "SGD":
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.sgd(learning_rate, momentum=0.9),
+        )
+    else:
+        raise NameError("Choose 'Adam', 'AdamW', 'RAdam', or 'SGD'.")
+
+    if gradient_clip_val is not None:
+        tx = optax.chain(optax.clip_by_global_norm(gradient_clip_val), tx)
+
+    if accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
+
+    return tx

@@ -1,0 +1,211 @@
+"""Jitted train / eval steps.
+
+The TPU-native replacement for the reference's Lightning module
+(lightning.py:91-683): one functional ``train_step`` (forward, multi-task
+loss, grad, optimizer update, BN-stat update) compiled by XLA, and an
+``eval_step`` that computes the reference's metric suite and composite
+``val_score`` (lightning.py:459-466) on device.
+"""
+
+import typing as T
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core
+from flax import struct
+from flax.training import train_state
+
+from ..data.batch import Batch
+from ..enums import InferenceNames, LossTypes, ValidationNames
+from .labels import get_true_labels
+from .loss_registry import LOSS_DICT
+from .metrics import (
+    fbeta_score,
+    mae,
+    matthews_corrcoef,
+    mse,
+    probas_to_labels,
+)
+
+Array = jax.Array
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: core.FrozenDict = None
+
+
+def create_train_state(
+    model,
+    tx: optax.GradientTransformation,
+    init_batch: Batch,
+    seed: int = 0,
+) -> TrainState:
+    variables = model.init(
+        jax.random.PRNGKey(seed), init_batch, training=False
+    )
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", core.FrozenDict()),
+        tx=tx,
+    )
+
+
+def calc_loss(
+    predictions: T.Dict[str, T.Optional[Array]],
+    batch: Batch,
+    loss_name: str = LossTypes.TANIMOTO_COMBINED,
+    edge_class: int = 2,
+) -> T.Tuple[Array, T.Dict[str, Array]]:
+    """Multi-task loss: distance + edge + crop, equally weighted
+    (reference lightning.py:209-354)."""
+    losses = LOSS_DICT[loss_name]
+    reg_loss = losses.get("regression")
+    cls_loss = losses.get("classification")
+    if reg_loss is None:
+        reg_loss = LOSS_DICT[LossTypes.TANIMOTO_COMBINED]["regression"]
+    if cls_loss is None:
+        cls_loss = LOSS_DICT[LossTypes.TANIMOTO_COMBINED]["classification"]
+
+    true = get_true_labels(batch.y, edge_class=edge_class)
+    mask = true[ValidationNames.MASK]
+
+    dist_loss = reg_loss(
+        predictions[InferenceNames.DISTANCE], batch.bdist, mask=mask
+    )
+    edge_loss = cls_loss(
+        predictions[InferenceNames.EDGE],
+        true[ValidationNames.TRUE_EDGE],
+        mask=mask,
+    )
+    crop_loss = cls_loss(
+        predictions[InferenceNames.CROP],
+        true[ValidationNames.TRUE_CROP],
+        mask=mask,
+    )
+
+    loss = (dist_loss + edge_loss + crop_loss) / 3.0
+    return loss, {
+        "dloss": dist_loss,
+        "eloss": edge_loss,
+        "closs": crop_loss,
+    }
+
+
+def make_train_step(
+    loss_name: str = LossTypes.TANIMOTO_COMBINED,
+    edge_class: int = 2,
+    donate: bool = True,
+):
+    """Build a jitted train step: (state, batch, rng) -> (state, logs)."""
+
+    def train_step(state: TrainState, batch: Batch, rng: Array):
+        def loss_fn(params):
+            outputs, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                training=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            loss, report = calc_loss(
+                outputs, batch, loss_name=loss_name, edge_class=edge_class
+            )
+            return loss, (mutated["batch_stats"], report)
+
+        (loss, (new_batch_stats, report)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_batch_stats)
+        logs = {"loss": loss, **report}
+        return state, logs
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def evaluate_predictions(
+    predictions: T.Dict[str, T.Optional[Array]],
+    batch: Batch,
+    loss_name: str = LossTypes.TANIMOTO_COMBINED,
+    edge_class: int = 2,
+) -> T.Dict[str, Array]:
+    """Loss + metric suite + composite score (reference
+    lightning.py:374-481)."""
+    loss, report = calc_loss(
+        predictions, batch, loss_name=loss_name, edge_class=edge_class
+    )
+
+    true = get_true_labels(batch.y, edge_class=edge_class)
+    mask = true[ValidationNames.MASK]
+
+    dist_pred = predictions[InferenceNames.DISTANCE][..., 0]
+    dist_mae = mae(dist_pred, batch.bdist, mask=mask)
+    dist_mse = mse(dist_pred, batch.bdist, mask=mask)
+
+    edge_ypred = probas_to_labels(predictions[InferenceNames.EDGE])
+    crop_ypred = probas_to_labels(predictions[InferenceNames.CROP])
+
+    edge_fscore = fbeta_score(
+        edge_ypred, true[ValidationNames.TRUE_EDGE], beta=2.0, mask=mask
+    )
+    crop_fscore = fbeta_score(
+        crop_ypred, true[ValidationNames.TRUE_CROP], beta=2.0, mask=mask
+    )
+    edge_mcc = matthews_corrcoef(
+        edge_ypred, true[ValidationNames.TRUE_EDGE], mask=mask
+    )
+    crop_mcc = matthews_corrcoef(
+        crop_ypred, true[ValidationNames.TRUE_CROP], mask=mask
+    )
+
+    total_score = (
+        loss
+        + (1.0 - edge_fscore)
+        + (1.0 - crop_fscore)
+        + dist_mae
+        + (1.0 - jnp.maximum(edge_mcc, 0.0))
+        + (1.0 - jnp.maximum(crop_mcc, 0.0))
+    )
+
+    return {
+        "loss": loss,
+        "dist_mae": dist_mae,
+        "dist_mse": dist_mse,
+        "edge_f1": edge_fscore,
+        "crop_f1": crop_fscore,
+        "edge_mcc": edge_mcc,
+        "crop_mcc": crop_mcc,
+        "score": total_score,
+        **report,
+    }
+
+
+def make_eval_step(
+    loss_name: str = LossTypes.TANIMOTO_COMBINED, edge_class: int = 2
+):
+    def eval_step(state: TrainState, batch: Batch):
+        outputs = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch,
+            training=False,
+        )
+        return evaluate_predictions(
+            outputs, batch, loss_name=loss_name, edge_class=edge_class
+        )
+
+    return jax.jit(eval_step)
+
+
+def make_predict_step():
+    def predict_step(state: TrainState, batch: Batch):
+        return state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch,
+            training=False,
+        )
+
+    return jax.jit(predict_step)
