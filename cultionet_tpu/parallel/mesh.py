@@ -1,0 +1,84 @@
+"""Device mesh + sharding utilities.
+
+The TPU-native replacement for the reference's Lightning DDP/NCCL stack
+(model.py:101,179-185; SURVEY.md §2.3): a 1-D ``data`` mesh over ICI, batch
+sharded along its leading axis, parameters/optimizer state replicated. All
+collectives (gradient all-reduce, cross-replica BatchNorm statistics, global
+metric reductions) are inserted by GSPMD from the sharding annotations — no
+explicit communication code.
+
+TP/PP/SP/EP are intentionally absent, as in the reference (SURVEY.md §2.3):
+the model is a small conv net; data parallelism is the only axis that pays.
+FSDP-style parameter sharding is available via ``fsdp=True`` for parity with
+the reference's selectable 'fsdp' strategy (args.yml:274).
+"""
+
+import typing as T
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.batch import Batch
+
+
+def create_mesh(
+    num_devices: T.Optional[int] = None,
+    axis_name: str = "data",
+    devices: T.Optional[T.Sequence[jax.Device]] = None,
+) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(batch: Batch, mesh: Mesh, axis_name: str = "data") -> Batch:
+    """Place a host batch on the mesh, batch-axis sharded.
+
+    The per-host double-buffered ``device_put`` is the TPU equivalent of the
+    reference's DataLoader worker -> GPU transfer.
+    """
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, sharding), batch
+    )
+
+
+def replicate_state(state, mesh: Mesh):
+    """Replicate a train state (params + opt state) across the mesh."""
+    return jax.device_put(state, replicated(mesh))
+
+
+def fsdp_param_sharding(
+    params, mesh: Mesh, axis_name: str = "data", min_size: int = 2**16
+):
+    """Optional FSDP-ish sharding: large parameters sharded along their
+    largest divisible axis, small ones replicated. The model is small
+    (tens of M params) so this exists for strategy parity, not necessity."""
+    axis_size = mesh.shape[axis_name]
+
+    def spec(leaf):
+        if leaf.size < min_size:
+            return NamedSharding(mesh, P())
+        for dim, extent in sorted(
+            enumerate(leaf.shape), key=lambda kv: -kv[1]
+        ):
+            if extent % axis_size == 0:
+                parts: T.List[T.Optional[str]] = [None] * leaf.ndim
+                parts[dim] = axis_name
+                return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, params)

@@ -1,0 +1,70 @@
+"""Sharded (multi-chip) train / eval steps via jit + sharding annotations.
+
+GSPMD turns the sharding annotations into ICI collectives: gradients and
+BatchNorm batch statistics become global automatically (the psum that
+replaces the reference's DDP all-reduce, SURVEY.md §2.3).
+"""
+
+import typing as T
+
+import jax
+from jax.sharding import Mesh
+
+from ..enums import LossTypes
+from .mesh import batch_sharding, replicated
+from ..train.step import make_eval_step, make_predict_step, make_train_step
+
+
+def make_sharded_train_step(
+    mesh: Mesh,
+    loss_name: str = LossTypes.TANIMOTO_COMBINED,
+    edge_class: int = 2,
+    precision: str = "bf16",
+    axis_name: str = "data",
+):
+    """Jitted data-parallel train step: state replicated, batch sharded."""
+    inner = make_train_step(
+        loss_name=loss_name,
+        edge_class=edge_class,
+        precision=precision,
+        jit=False,
+    )
+    repl = replicated(mesh)
+    data = batch_sharding(mesh, axis_name)
+    return jax.jit(
+        inner,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_sharded_eval_step(
+    mesh: Mesh,
+    loss_name: str = LossTypes.TANIMOTO_COMBINED,
+    edge_class: int = 2,
+    precision: str = "bf16",
+    axis_name: str = "data",
+):
+    inner = make_eval_step(
+        loss_name=loss_name,
+        edge_class=edge_class,
+        precision=precision,
+        jit=False,
+    )
+    repl = replicated(mesh)
+    data = batch_sharding(mesh, axis_name)
+    return jax.jit(
+        inner, in_shardings=(repl, data), out_shardings=repl
+    )
+
+
+def make_sharded_predict_step(
+    mesh: Mesh, precision: str = "bf16", axis_name: str = "data"
+):
+    inner = make_predict_step(precision=precision, jit=False)
+    repl = replicated(mesh)
+    data = batch_sharding(mesh, axis_name)
+    return jax.jit(
+        inner, in_shardings=(repl, data), out_shardings=data
+    )

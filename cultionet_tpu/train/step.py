@@ -21,6 +21,7 @@ from ..data.batch import Batch
 from ..enums import InferenceNames, LossTypes, ValidationNames
 from .labels import get_true_labels
 from .loss_registry import LOSS_DICT
+from .precision import cast_floating, resolve_dtype
 from .metrics import (
     fbeta_score,
     mae,
@@ -98,22 +99,39 @@ def make_train_step(
     loss_name: str = LossTypes.TANIMOTO_COMBINED,
     edge_class: int = 2,
     donate: bool = True,
+    precision: str = "fp32",
+    jit: bool = True,
 ):
-    """Build a jitted train step: (state, batch, rng) -> (state, logs)."""
+    """Build a jitted train step: (state, batch, rng) -> (state, logs).
+
+    With ``precision='bf16'`` the forward/backward pass runs in bfloat16
+    (params cast inside the grad so master params and grads stay fp32 —
+    the TPU analogue of the reference's '16-mixed' AMP, model.py:86).
+    """
+    compute_dtype = resolve_dtype(precision)
 
     def train_step(state: TrainState, batch: Batch, rng: Array):
         def loss_fn(params):
+            run_params = cast_floating(params, compute_dtype)
+            run_batch = batch.replace(x=batch.x.astype(compute_dtype))
             outputs, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch,
+                {
+                    "params": run_params,
+                    "batch_stats": cast_floating(
+                        state.batch_stats, compute_dtype
+                    ),
+                },
+                run_batch,
                 training=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )
+            outputs = cast_floating(outputs, jnp.float32)
             loss, report = calc_loss(
                 outputs, batch, loss_name=loss_name, edge_class=edge_class
             )
-            return loss, (mutated["batch_stats"], report)
+            new_stats = cast_floating(mutated["batch_stats"], jnp.float32)
+            return loss, (new_stats, report)
 
         (loss, (new_batch_stats, report)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -124,6 +142,8 @@ def make_train_step(
         logs = {"loss": loss, **report}
         return state, logs
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
@@ -184,28 +204,39 @@ def evaluate_predictions(
     }
 
 
+def _inference_apply(state: TrainState, batch: Batch, compute_dtype):
+    run_params = cast_floating(state.params, compute_dtype)
+    run_stats = cast_floating(state.batch_stats, compute_dtype)
+    run_batch = batch.replace(x=batch.x.astype(compute_dtype))
+    outputs = state.apply_fn(
+        {"params": run_params, "batch_stats": run_stats},
+        run_batch,
+        training=False,
+    )
+    return cast_floating(outputs, jnp.float32)
+
+
 def make_eval_step(
-    loss_name: str = LossTypes.TANIMOTO_COMBINED, edge_class: int = 2
+    loss_name: str = LossTypes.TANIMOTO_COMBINED,
+    edge_class: int = 2,
+    precision: str = "fp32",
+    jit: bool = True,
 ):
+    compute_dtype = resolve_dtype(precision)
+
     def eval_step(state: TrainState, batch: Batch):
-        outputs = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch,
-            training=False,
-        )
+        outputs = _inference_apply(state, batch, compute_dtype)
         return evaluate_predictions(
             outputs, batch, loss_name=loss_name, edge_class=edge_class
         )
 
-    return jax.jit(eval_step)
+    return jax.jit(eval_step) if jit else eval_step
 
 
-def make_predict_step():
+def make_predict_step(precision: str = "fp32", jit: bool = True):
+    compute_dtype = resolve_dtype(precision)
+
     def predict_step(state: TrainState, batch: Batch):
-        return state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch,
-            training=False,
-        )
+        return _inference_apply(state, batch, compute_dtype)
 
-    return jax.jit(predict_step)
+    return jax.jit(predict_step) if jit else predict_step

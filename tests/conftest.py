@@ -8,12 +8,19 @@ reference lacks entirely — it has no distributed tests, see
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The environment may preset JAX_PLATFORMS (e.g. a TPU tunnel) and a
+# sitecustomize may import jax before this conftest runs — force CPU at the
+# config level too.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
