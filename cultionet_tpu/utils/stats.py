@@ -1,0 +1,247 @@
+"""Streaming statistics over chip datasets.
+
+Capability parity with the reference's utils/stats.py: Chan-style running
+mean/variance (with mean- or median-of-batch centering, stats.py:625-683), a
+streaming per-channel quantile estimator (the reference uses a KLL sketch,
+stats.py:236; here a bounded uniform reservoir per channel — unbiased quantile
+estimates with O(r) memory), and resumable stat tallies with on-disk state
+caching (stats.py:711-807).
+
+All state lives in numpy on the host: statistics passes are IO-bound, not
+compute-bound.
+"""
+
+import contextlib
+import typing as T
+from pathlib import Path
+
+import numpy as np
+
+_CACHE_LOAD_ENABLED = False
+
+
+@contextlib.contextmanager
+def cache_load_enabled(enabled: bool = True):
+    """Allow ``tally_stats`` to restore cached stat state."""
+    global _CACHE_LOAD_ENABLED
+    previous = _CACHE_LOAD_ENABLED
+    _CACHE_LOAD_ENABLED = enabled
+    try:
+        yield
+    finally:
+        _CACHE_LOAD_ENABLED = previous
+
+
+def _flatten_channels_last(a: np.ndarray) -> np.ndarray:
+    """(..., C) -> (N, C)."""
+    a = np.asarray(a)
+    return a.reshape(-1, a.shape[-1]).astype(np.float64)
+
+
+class Stat:
+    """Base: serializable streaming statistic."""
+
+    def state_dict(self) -> T.Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    def load_state_dict(self, state: T.Mapping[str, np.ndarray]) -> None:
+        raise NotImplementedError
+
+    def save(self, path: T.Union[str, Path]) -> None:
+        np.savez(path, **self.state_dict())
+
+    def load(self, path: T.Union[str, Path]) -> None:
+        with np.load(path, allow_pickle=False) as data:
+            self.load_state_dict(dict(data))
+
+
+class Mean(Stat):
+    """Running per-channel mean."""
+
+    def __init__(self):
+        self.count = 0.0
+        self._sum = None
+
+    def add(self, a: np.ndarray) -> None:
+        a = _flatten_channels_last(a)
+        if a.size == 0:
+            return
+        if self._sum is None:
+            self._sum = a.sum(axis=0)
+        else:
+            self._sum += a.sum(axis=0)
+        self.count += a.shape[0]
+
+    def mean(self) -> np.ndarray:
+        return self._sum / max(self.count, 1.0)
+
+    def state_dict(self):
+        return {"count": np.asarray(self.count), "sum": self._sum}
+
+    def load_state_dict(self, state):
+        self.count = float(state["count"])
+        self._sum = np.asarray(state["sum"])
+
+
+class Variance(Stat):
+    """Chan-style running variance with mean- or median-of-batch centering
+    (matching reference stats.py:625-683)."""
+
+    def __init__(self, method: str = "mean"):
+        assert method in ("mean", "median")
+        self.method = method
+        self.count = 0
+        self._center = None
+        self._cmom2 = None
+
+    def add(self, a: np.ndarray) -> None:
+        a = _flatten_channels_last(a)
+        if a.shape[0] == 0:
+            return
+        batch_count = a.shape[0]
+        if self.method == "median":
+            batch_reduce = np.median(a, axis=0)
+        else:
+            batch_reduce = a.mean(axis=0)
+        centered = a - batch_reduce
+
+        if self._center is None:
+            self.count = batch_count
+            self._center = batch_reduce
+            self._cmom2 = (centered**2).sum(axis=0)
+            return
+
+        oldcount = self.count
+        self.count += batch_count
+        new_frac = batch_count / self.count
+        delta = batch_reduce - self._center
+        self._center = self._center + delta * new_frac
+        # Textbook Chan parallel-variance combination:
+        # M2 = M2_a + M2_b + delta^2 * n_a * n_b / n
+        self._cmom2 = (
+            self._cmom2
+            + (centered**2).sum(axis=0)
+            + delta**2 * (oldcount * batch_count / self.count)
+        )
+
+    def size(self) -> int:
+        return self.count
+
+    def mean(self) -> np.ndarray:
+        return np.asarray(self._center)
+
+    def var(self, unbiased: bool = True) -> np.ndarray:
+        return self._cmom2 / max(self.count - (1 if unbiased else 0), 1)
+
+    def std(self, unbiased: bool = True) -> np.ndarray:
+        return np.sqrt(self.var(unbiased=unbiased))
+
+    def state_dict(self):
+        return {
+            "count": np.asarray(self.count),
+            "center": self._center,
+            "cmom2": self._cmom2,
+            "method": np.asarray(self.method),
+        }
+
+    def load_state_dict(self, state):
+        self.count = int(state["count"])
+        self._center = np.asarray(state["center"])
+        self._cmom2 = np.asarray(state["cmom2"])
+        self.method = str(state["method"])
+
+
+class Quantile(Stat):
+    """Streaming per-channel quantiles via bounded uniform reservoirs."""
+
+    def __init__(self, r: int = 6144, seed: int = 42):
+        self.r = r
+        self.count = 0
+        self._reservoir = None  # (r, C)
+        self._filled = 0
+        self._rng = np.random.default_rng(seed)
+        self._sum = None
+
+    def add(self, a: np.ndarray) -> None:
+        a = _flatten_channels_last(a)
+        n = a.shape[0]
+        if n == 0:
+            return
+        if self._reservoir is None:
+            self._reservoir = np.empty((self.r, a.shape[1]), dtype=np.float64)
+            self._sum = np.zeros(a.shape[1], dtype=np.float64)
+
+        self._sum += a.sum(axis=0)
+
+        # Fill phase.
+        take = min(self.r - self._filled, n)
+        if take > 0:
+            self._reservoir[self._filled : self._filled + take] = a[:take]
+            self._filled += take
+        # Replacement phase (vectorized reservoir sampling).
+        rest = a[take:]
+        if rest.shape[0] > 0:
+            total_before = self.count + take
+            positions = (
+                self._rng.random(rest.shape[0])
+                * (total_before + 1 + np.arange(rest.shape[0]))
+            ).astype(np.int64)
+            keep = positions < self.r
+            idx = positions[keep]
+            self._reservoir[idx] = rest[keep]
+        self.count += n
+
+    def quantiles(self, q: T.Union[float, T.Sequence[float]]) -> np.ndarray:
+        data = self._reservoir[: self._filled]
+        return np.quantile(data, q, axis=0)
+
+    def median(self) -> np.ndarray:
+        return self.quantiles(0.5)
+
+    def mean(self) -> np.ndarray:
+        return self._sum / max(self.count, 1)
+
+    def state_dict(self):
+        return {
+            "r": np.asarray(self.r),
+            "count": np.asarray(self.count),
+            "reservoir": self._reservoir,
+            "filled": np.asarray(self._filled),
+            "sum": self._sum,
+        }
+
+    def load_state_dict(self, state):
+        self.r = int(state["r"])
+        self.count = int(state["count"])
+        self._reservoir = np.asarray(state["reservoir"])
+        self._filled = int(state["filled"])
+        self._sum = np.asarray(state["sum"])
+
+
+def tally_stats(
+    stats: T.Sequence[Stat],
+    loader: T.Iterable,
+    caches: T.Optional[T.Sequence[T.Union[str, Path]]] = None,
+) -> T.Iterator:
+    """Iterate a loader while allowing stat state to be cached / restored.
+
+    When ``cache_load_enabled(True)`` and every cache file exists, each stat's
+    state is restored and iteration yields nothing (the pass is skipped) —
+    the reference's resume mechanism (stats.py:711-807). Otherwise batches
+    are yielded for the caller to ``add`` to each stat, and states are saved
+    to the caches at the end.
+    """
+    if caches is not None:
+        caches = [Path(c) for c in caches]
+        if _CACHE_LOAD_ENABLED and all(c.exists() for c in caches):
+            for stat, cache in zip(stats, caches):
+                stat.load(cache)
+            return
+
+    for batch in loader:
+        yield batch
+
+    if caches is not None:
+        for stat, cache in zip(stats, caches):
+            cache.parent.mkdir(parents=True, exist_ok=True)
+            stat.save(cache)

@@ -1,0 +1,183 @@
+"""Dataset + normalization pipeline tests (modeled on the reference's
+tests/test_dataset.py, test_norm.py, test_data_splits.py)."""
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cultionet_tpu.data import (
+    Batch,
+    ChipDataset,
+    ChipLoader,
+    SCALE_FACTOR,
+    collate,
+    create_batch,
+)
+from cultionet_tpu.utils.normalize import NormValues
+from cultionet_tpu.utils.stats import Quantile, Variance
+
+
+def temporary_dataset(tmp_path, num_samples=10, seed=100, **kwargs):
+    rng = np.random.default_rng(seed)
+    processed = Path(tmp_path) / "processed"
+    for _ in range(num_samples):
+        batch = create_batch(rng=rng)
+        batch.to_file(processed / batch.batch_id[0])
+    return ChipDataset(tmp_path, **kwargs)
+
+
+def test_batch_file_roundtrip(tmp_path):
+    batch = create_batch(rng=np.random.default_rng(0))
+    path = Path(tmp_path) / "chip.npz"
+    batch.to_file(path)
+    loaded = Batch.from_file(path)
+    np.testing.assert_allclose(np.asarray(loaded.x), np.asarray(batch.x))
+    np.testing.assert_array_equal(np.asarray(loaded.y), np.asarray(batch.y))
+    assert loaded.batch_id == batch.batch_id
+
+
+def test_reference_pt_chip_reader(tmp_path):
+    """Read a joblib .pt chip in the reference's (B, C, T, H, W) layout."""
+    joblib = pytest.importorskip("joblib")
+    rng = np.random.default_rng(1)
+    x_ref = (rng.random((1, 3, 12, 10, 10)) * SCALE_FACTOR).astype("int16")
+    stored = {
+        "x": x_ref,
+        "y": rng.integers(-1, 3, size=(1, 10, 10)),
+        "bdist": (rng.random((1, 10, 10)) * SCALE_FACTOR).astype("int16"),
+        "left": np.array([10.0]),
+        "bottom": np.array([40.0]),
+        "right": np.array([10.1]),
+        "top": np.array([40.1]),
+    }
+    path = Path(tmp_path) / "processed" / "data_000001_2022_none.pt"
+    path.parent.mkdir(parents=True)
+    joblib.dump(stored, path)
+
+    ds = ChipDataset(tmp_path)
+    assert len(ds) == 1
+    batch = ds[0]
+    assert batch.x.shape == (1, 12, 10, 10, 3)  # (B, T, H, W, C)
+    assert float(batch.x.max()) <= 1.0
+    assert float(batch.x.min()) >= float(np.float32(1e-9))
+    assert float(batch.lon[0]) == pytest.approx(10.05)
+
+
+def test_dataset_iteration_and_scaling(tmp_path):
+    ds = temporary_dataset(tmp_path, num_samples=6)
+    assert len(ds) == 6
+    batch = ds[0]
+    assert float(batch.x.min()) >= float(np.float32(1e-9))
+    assert float(batch.x.max()) <= 1.0
+    assert batch.lat is not None and batch.lon is not None
+
+
+def test_loader_collates(tmp_path):
+    ds = temporary_dataset(tmp_path, num_samples=7)
+    loader = ChipLoader(ds, batch_size=3, shuffle=True)
+    batches = list(loader)
+    assert len(loader) == 3
+    assert batches[0].x.shape[0] == 3
+    total = sum(b.x.shape[0] for b in batches)
+    assert total == 7
+    assert len(batches[0].batch_id) == 3
+
+
+def test_norm_values_roundtrip_and_transform(tmp_path):
+    ds = temporary_dataset(tmp_path, num_samples=8)
+    loader = ChipLoader(ds, batch_size=4)
+    norm = NormValues.from_dataset(
+        loader, class_info={"max_crop_class": 1, "edge_class": 2}
+    )
+    assert norm.num_channels == 3
+    assert norm.dataset_crop_counts.shape == (2,)
+
+    batch = ds[0]
+    transformed = norm(batch)
+    # z-scored values should differ and have reduced offset
+    assert not np.allclose(np.asarray(transformed.x), np.asarray(batch.x))
+    back = norm.inverse_transform(transformed)
+    np.testing.assert_allclose(
+        np.asarray(back.x), np.asarray(batch.x), rtol=1e-4, atol=1e-5
+    )
+
+    path = Path(tmp_path) / "last.norm.npz"
+    norm.to_file(path)
+    restored = NormValues.from_file(path)
+    np.testing.assert_allclose(restored.dataset_mean, norm.dataset_mean)
+    np.testing.assert_allclose(restored.dataset_std, norm.dataset_std)
+
+
+def test_norm_values_closed_form():
+    """z-score parity against closed-form stats (reference test_norm.py)."""
+    rng = np.random.default_rng(0)
+    data = rng.normal(loc=3.0, scale=2.0, size=(100_000, 2))
+
+    var = Variance(method="median")
+    q = Quantile(r=6144)
+    for chunk in np.array_split(data, 10):
+        var.add(chunk)
+        q.add(chunk)
+
+    np.testing.assert_allclose(var.std(), data.std(axis=0, ddof=1), rtol=0.01)
+    np.testing.assert_allclose(
+        q.median(), np.median(data, axis=0), atol=0.05
+    )
+    np.testing.assert_allclose(
+        q.quantiles(0.05), np.quantile(data, 0.05, axis=0), atol=0.12
+    )
+
+
+def test_train_val_split(tmp_path):
+    ds = temporary_dataset(tmp_path, num_samples=20)
+    train_ds, val_ds = ds.split_train_val(val_frac=0.2)
+    assert len(train_ds) == 16
+    assert len(val_ds) == 4
+    assert set(train_ds.files).isdisjoint(set(val_ds.files))
+    assert val_ds.augment_prob == 0.0
+
+
+def test_spatial_split_and_kfold(tmp_path):
+    ds = temporary_dataset(tmp_path, num_samples=24)
+    train_ds, val_ds = ds.split_train_val(val_frac=0.25, spatial_balance=True)
+    assert len(val_ds) == 6
+    assert set(train_ds.files).isdisjoint(set(val_ds.files))
+
+    folds = list(ds.spatial_kfoldcv_iter(k=4))
+    assert len(folds) >= 2
+    all_val_files = [f for _, _, val in folds for f in val.files]
+    assert len(all_val_files) == 24  # every chip in exactly one fold
+    assert len(set(all_val_files)) == 24
+
+
+def test_check_dims(tmp_path):
+    ds = temporary_dataset(tmp_path, num_samples=4)
+    assert ds.check_dims() == []
+
+    # Corrupt one file with different time steps
+    rng = np.random.default_rng(9)
+    bad = create_batch(num_time=5, rng=rng)
+    bad_path = Path(tmp_path) / "processed" / "data_zzz_bad.npz"
+    bad.to_file(bad_path)
+    ds2 = ChipDataset(tmp_path)
+    mismatched = ds2.check_dims(
+        expected_time=12, expected_channels=3, delete_mismatches=True
+    )
+    assert len(mismatched) == 1
+    assert not bad_path.exists()
+
+
+def test_dataset_augmentation_probability(tmp_path):
+    ds = temporary_dataset(
+        tmp_path, num_samples=3, augment_prob=1.0, random_seed=7
+    )
+    raw_ds = ChipDataset(ds.root, augment_prob=0.0)
+    changed = 0
+    for i in range(len(ds)):
+        if not np.allclose(
+            np.asarray(ds[i].x), np.asarray(raw_ds[i].x), atol=1e-7
+        ):
+            changed += 1
+    assert changed >= 1
