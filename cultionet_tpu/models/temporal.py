@@ -43,6 +43,10 @@ class Conv3d(nn.Module):
         act = get_activation(self.activation_type)
         in_channels = x.shape[-1]
         remaining_time = self.in_time - self.kernel_size + 1
+        assert remaining_time >= 1, (
+            f"in_time={self.in_time} too short for temporal kernel "
+            f"{self.kernel_size}; need in_time >= {self.kernel_size}"
+        )
 
         x = nn.Conv(
             in_channels,

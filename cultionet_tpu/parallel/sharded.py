@@ -12,7 +12,12 @@ from jax.sharding import Mesh
 
 from ..enums import LossTypes
 from .mesh import batch_sharding, replicated
-from ..train.step import make_eval_step, make_predict_step, make_train_step
+from ..train.step import (
+    make_eval_step,
+    make_predict_step,
+    make_train_step,
+    strip_static,
+)
 
 
 def make_sharded_train_step(
@@ -31,12 +36,17 @@ def make_sharded_train_step(
     )
     repl = replicated(mesh)
     data = batch_sharding(mesh, axis_name)
-    return jax.jit(
+    jitted = jax.jit(
         inner,
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+    def wrapped(state, batch, rng):
+        return jitted(state, strip_static(batch), rng)
+
+    return wrapped
 
 
 def make_sharded_eval_step(
@@ -54,9 +64,12 @@ def make_sharded_eval_step(
     )
     repl = replicated(mesh)
     data = batch_sharding(mesh, axis_name)
-    return jax.jit(
-        inner, in_shardings=(repl, data), out_shardings=repl
-    )
+    jitted = jax.jit(inner, in_shardings=(repl, data), out_shardings=repl)
+
+    def wrapped(state, batch):
+        return jitted(state, strip_static(batch))
+
+    return wrapped
 
 
 def make_sharded_predict_step(
@@ -65,6 +78,9 @@ def make_sharded_predict_step(
     inner = make_predict_step(precision=precision, jit=False)
     repl = replicated(mesh)
     data = batch_sharding(mesh, axis_name)
-    return jax.jit(
-        inner, in_shardings=(repl, data), out_shardings=data
-    )
+    jitted = jax.jit(inner, in_shardings=(repl, data), out_shardings=data)
+
+    def wrapped(state, batch):
+        return jitted(state, strip_static(batch))
+
+    return wrapped

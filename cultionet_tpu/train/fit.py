@@ -1,0 +1,363 @@
+"""The training loop: fit / evaluate / transfer learning.
+
+The TPU-native replacement for the reference's Lightning orchestration
+(model.py:222-330, lightning.py:686-818): explicit epoch loop driving jitted
+train/eval steps, composite-val_score best checkpointing, auto-resume,
+optional stochastic weight averaging, and freeze/replace transfer learning —
+all with the multi-device mesh path when ``devices > 1``.
+"""
+
+import dataclasses
+import json
+import typing as T
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import CultionetParams
+from ..data.loader import ChipLoader
+from ..models import CultioNet
+from ..utils.logging import set_color_logger
+from .checkpoint import Checkpointer
+from .optim import build_optimizer, build_schedule
+from .precision import cast_floating
+from .step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+logger = set_color_logger(__name__)
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    model: CultioNet
+    history: T.List[T.Dict[str, float]]
+    best_score: float
+    norm_values: T.Any = None
+
+
+def _mean_metrics(
+    rows: T.List[T.Tuple[int, T.Dict[str, jnp.ndarray]]]
+) -> T.Dict[str, float]:
+    """Batch-size weighted mean of metric dicts."""
+    total = sum(n for n, _ in rows)
+    out: T.Dict[str, float] = {}
+    for key in rows[0][1]:
+        out[key] = float(
+            sum(n * float(m[key]) for n, m in rows) / max(total, 1)
+        )
+    return out
+
+
+def _trainable_mask(params, finetune: T.Optional[str]):
+    """Param-path mask for transfer learning (reference lightning.py:746-801):
+    'all' -> everything trainable; 'fc' or None -> only the final heads."""
+    final_names = ("final_a", "final_b", "final_c", "final_combine")
+
+    def label(path: T.Tuple, _) -> bool:
+        if finetune == "all":
+            return True
+        return any(
+            getattr(p, "key", None) in final_names for p in path
+        )
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def build_model(params: CultionetParams) -> CultioNet:
+    return CultioNet(**params.get_model_kwargs())
+
+
+def _make_steps(params: CultionetParams, mesh=None, frozen_mask=None):
+    precision = params.compute_precision
+    if mesh is not None:
+        from ..parallel import make_sharded_eval_step, make_sharded_train_step
+
+        return (
+            make_sharded_train_step(
+                mesh,
+                loss_name=params.loss_name,
+                edge_class=params.edge_class,
+                precision=precision,
+            ),
+            make_sharded_eval_step(
+                mesh,
+                loss_name=params.loss_name,
+                edge_class=params.edge_class,
+                precision=precision,
+            ),
+        )
+    return (
+        make_train_step(
+            loss_name=params.loss_name,
+            edge_class=params.edge_class,
+            precision=precision,
+            donate=False,
+        ),
+        make_eval_step(
+            loss_name=params.loss_name,
+            edge_class=params.edge_class,
+            precision=precision,
+        ),
+    )
+
+
+def _build_tx(
+    params: CultionetParams, steps_per_epoch: int, frozen_mask=None
+) -> optax.GradientTransformation:
+    schedule = build_schedule(
+        params.lr_scheduler,
+        learning_rate=params.learning_rate,
+        epochs=params.epochs,
+        steps_per_epoch=max(
+            1, steps_per_epoch // max(1, params.accumulate_grad_batches)
+        ),
+        steplr_step_size=params.steplr_step_size,
+    )
+    tx = build_optimizer(
+        optimizer=params.optimizer,
+        learning_rate=schedule,
+        weight_decay=params.weight_decay,
+        eps=params.eps,
+        gradient_clip_val=params.gradient_clip_val,
+        accumulate_grad_batches=params.accumulate_grad_batches,
+    )
+    if frozen_mask is not None:
+        # Zero updates for frozen params (reference freeze semantics).
+        tx = optax.chain(
+            tx,
+            optax.masked(
+                optax.set_to_zero(),
+                jax.tree_util.tree_map(lambda t: not t, frozen_mask),
+            ),
+        )
+    return tx
+
+
+def fit(
+    params: CultionetParams,
+    pretrained_state: T.Optional[TrainState] = None,
+) -> FitResult:
+    """Train CultioNet from a CultionetParams config.
+
+    When ``pretrained_state`` is given (transfer learning), its params /
+    batch stats seed the new state and ``params.finetune`` controls which
+    parameters receive updates.
+    """
+    params.check_checkpoint()
+
+    dataset = params.dataset
+    if params.in_channels is None:
+        params.update_channels(dataset)
+
+    train_ds, val_ds = dataset.split_train_val(
+        val_frac=params.val_frac,
+        spatial_balance=params.spatial_partitions is not None,
+    )
+    train_ds.augment_prob = params.augment_prob
+
+    train_loader = ChipLoader(
+        train_ds,
+        batch_size=params.batch_size,
+        shuffle=True,
+        drop_last=True,
+        num_workers=params.load_batch_workers,
+    )
+    val_loader = ChipLoader(
+        val_ds, batch_size=params.batch_size, shuffle=False
+    )
+    steps_per_epoch = max(1, len(train_loader))
+
+    model = build_model(params)
+
+    finetune_mask = None
+    if pretrained_state is not None and params.finetune != "all":
+        finetune_mask = None  # built after state init (needs param tree)
+
+    tx = build_optimizer(  # placeholder; rebuilt below once mask known
+        optimizer=params.optimizer, learning_rate=params.learning_rate
+    )
+
+    init_batch = next(iter(val_loader))
+    state = create_train_state(model, tx, init_batch, seed=params.random_seed)
+
+    trainable_mask = None
+    if pretrained_state is not None:
+        restored_params = pretrained_state.params
+        if params.finetune is None:
+            # Replace final heads with fresh inits; train only those.
+            fresh = state.params
+            final_names = ("final_a", "final_b", "final_c", "final_combine")
+
+            def merge(path, old, new):
+                in_final = any(
+                    getattr(p, "key", None) in final_names for p in path
+                )
+                return new if in_final else old
+
+            restored_params = jax.tree_util.tree_map_with_path(
+                merge, restored_params, fresh
+            )
+        state = state.replace(
+            params=restored_params,
+            batch_stats=pretrained_state.batch_stats,
+        )
+        trainable_mask = _trainable_mask(state.params, params.finetune)
+
+    tx = _build_tx(params, steps_per_epoch, frozen_mask=trainable_mask)
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+
+    ckpt = None
+    start_epoch = 0
+    hyperparams = {
+        **{
+            k: (list(v) if isinstance(v, (list, tuple)) else v)
+            for k, v in params.get_model_kwargs().items()
+        },
+        "in_channels": params.in_channels,
+        "edge_class": params.edge_class,
+        "loss_name": str(params.loss_name),
+    }
+    if params.ckpt_file is not None:
+        # Store directory derives from the checkpoint name so transfer runs
+        # (last_transfer.ckpt, reference ModelNames.CKPT_TRANSFER_NAME) get
+        # their own store and never collide with the pretrained one.
+        ckpt_file = Path(params.ckpt_file)
+        ckpt = Checkpointer(ckpt_file.parent / f"{ckpt_file.stem}_store")
+        if ckpt.has_last():
+            meta = ckpt.load_meta("last")
+            state = ckpt.restore(state, "last")
+            start_epoch = meta["epoch"] + 1
+            logger.info(f"Resumed from epoch {meta['epoch']}")
+
+    mesh = None
+    if params.devices > 1:
+        from ..parallel import create_mesh, replicate_state, shard_batch
+
+        mesh = create_mesh(num_devices=params.devices)
+        state = replicate_state(state, mesh)
+
+    train_step, eval_step = _make_steps(params, mesh=mesh)
+
+    key = jax.random.PRNGKey(params.random_seed)
+    history: T.List[T.Dict[str, float]] = []
+    best_score = float("inf")
+    if ckpt is not None and ckpt.has_best():
+        best_score = ckpt.load_meta("best")["metrics"].get(
+            "val_score", float("inf")
+        )
+
+    swa_params = None
+    swa_count = 0
+    swa_start_epoch = int(
+        params.epochs * params.stochastic_weight_averaging_start
+    )
+
+    if params.skip_train:
+        return FitResult(
+            state=state, model=model, history=history, best_score=best_score
+        )
+
+    for epoch in range(start_epoch, params.epochs):
+        train_rows = []
+        for batch in train_loader:
+            if mesh is not None:
+                from ..parallel import shard_batch
+
+                batch = shard_batch(batch, mesh)
+            key, subkey = jax.random.split(key)
+            state, logs = train_step(state, batch, subkey)
+            train_rows.append((batch.num_samples, logs))
+
+        val_rows = []
+        for batch in val_loader:
+            if mesh is not None:
+                from ..parallel import shard_batch
+
+                batch = shard_batch(batch, mesh)
+            val_rows.append((batch.num_samples, eval_step(state, batch)))
+
+        train_metrics = _mean_metrics(train_rows)
+        val_metrics = _mean_metrics(val_rows)
+        row = {
+            "epoch": epoch,
+            "loss": train_metrics["loss"],
+            "val_loss": val_metrics["loss"],
+            "val_score": val_metrics["score"],
+            "vef1": val_metrics["edge_f1"],
+            "vcf1": val_metrics["crop_f1"],
+            "vmae": val_metrics["dist_mae"],
+        }
+        history.append(row)
+        logger.info(
+            f"epoch {epoch}: loss={row['loss']:.4f} "
+            f"val_loss={row['val_loss']:.4f} val_score={row['val_score']:.4f}"
+        )
+
+        if params.stochastic_weight_averaging and epoch >= swa_start_epoch:
+            params_f32 = cast_floating(state.params, jnp.float32)
+            if swa_params is None:
+                swa_params = params_f32
+                swa_count = 1
+            else:
+                swa_count += 1
+                swa_params = jax.tree_util.tree_map(
+                    lambda avg, new: avg + (new - avg) / swa_count,
+                    swa_params,
+                    params_f32,
+                )
+
+        if ckpt is not None:
+            ckpt.save_last(
+                state, epoch, metrics=row, hyperparams=hyperparams
+            )
+            if row["val_score"] < best_score:
+                best_score = row["val_score"]
+                ckpt.save_best(
+                    state, epoch, metrics=row, hyperparams=hyperparams
+                )
+
+        if params.save_batch_val_metrics and params.ckpt_file is not None:
+            metrics_file = (
+                Path(params.ckpt_file).parent / "batch_metrics.json"
+            )
+            existing = (
+                json.loads(metrics_file.read_text())
+                if metrics_file.exists()
+                else []
+            )
+            existing.append(row)
+            metrics_file.write_text(json.dumps(existing, indent=2))
+
+    if swa_params is not None:
+        state = state.replace(params=swa_params)
+        if ckpt is not None:
+            ckpt.save_last(
+                state,
+                params.epochs - 1,
+                metrics={"swa": 1.0},
+                hyperparams=hyperparams,
+            )
+
+    # Optional test pass -> metrics JSON (reference model.py:322-328)
+    if params.test_dataset is not None and params.ckpt_file is not None:
+        test_loader = ChipLoader(
+            params.test_dataset, batch_size=params.batch_size
+        )
+        test_rows = [
+            (b.num_samples, eval_step(state, b)) for b in test_loader
+        ]
+        test_metrics = _mean_metrics(test_rows)
+        out_path = Path(params.ckpt_file).parent / "test.metrics"
+        out_path.write_text(json.dumps(test_metrics, indent=2))
+
+    return FitResult(
+        state=state, model=model, history=history, best_score=best_score
+    )

@@ -95,6 +95,18 @@ def calc_loss(
     }
 
 
+def strip_static(batch: Batch) -> Batch:
+    """Drop host-side static metadata (batch_id) before entering jit.
+
+    ``batch_id`` is a non-pytree (static) field: leaving it set would make
+    every distinct chip-name tuple a separate jit cache entry and recompile
+    the step on every batch.
+    """
+    if batch.batch_id is None:
+        return batch
+    return batch.replace(batch_id=None)
+
+
 def make_train_step(
     loss_name: str = LossTypes.TANIMOTO_COMBINED,
     edge_class: int = 2,
@@ -144,7 +156,12 @@ def make_train_step(
 
     if not jit:
         return train_step
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    def wrapped(state, batch, rng):
+        return jitted(state, strip_static(batch), rng)
+
+    return wrapped
 
 
 def evaluate_predictions(
@@ -230,7 +247,14 @@ def make_eval_step(
             outputs, batch, loss_name=loss_name, edge_class=edge_class
         )
 
-    return jax.jit(eval_step) if jit else eval_step
+    if not jit:
+        return eval_step
+    jitted = jax.jit(eval_step)
+
+    def wrapped(state, batch):
+        return jitted(state, strip_static(batch))
+
+    return wrapped
 
 
 def make_predict_step(precision: str = "fp32", jit: bool = True):
@@ -239,4 +263,11 @@ def make_predict_step(precision: str = "fp32", jit: bool = True):
     def predict_step(state: TrainState, batch: Batch):
         return _inference_apply(state, batch, compute_dtype)
 
-    return jax.jit(predict_step) if jit else predict_step
+    if not jit:
+        return predict_step
+    jitted = jax.jit(predict_step)
+
+    def wrapped(state, batch):
+        return jitted(state, strip_static(batch))
+
+    return wrapped
