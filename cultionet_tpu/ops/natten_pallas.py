@@ -133,42 +133,34 @@ def _na_block_kernel(
     row = pixel // width
     col = pixel - row * width
 
-    def shifted_table(a, stride):
-        """Precompute S_s[p] = a[(p + s*stride) mod HWp] for s in [-2h, 2h]
-        — every shift the clamped construction can need, deduplicated."""
-        table = {}
-        for s in range(-2 * half, 2 * half + 1):
-            if s == 0:
-                table[s] = a
-            else:
-                table[s] = pltpu.roll(a, (-s * stride) % num_px, 0)
-        return table
+    def shifted(a, s, stride):
+        """S[p] = a[(p + s*stride) mod HWp]."""
+        if s == 0:
+            return a
+        return pltpu.roll(a, (-s * stride) % num_px, 0)
 
-    def clamped(table, j, pos, last):
+    def clamped(a, j, stride, pos, last):
         """Clamped-window shift along one image axis in flat space:
         interior: +(j - half); first row/col: +j; last row/col:
-        +(j - 2*half) — all in units of the table's stride."""
-        base = table[j - half]
+        +(j - 2*half) — in units of ``stride``. Shifts are recomputed at
+        every use so Mosaic's stack allocator keeps few buffers live."""
+        base = shifted(a, j - half, stride)
         if half == 0:
             return base
-        out = jnp.where(pos < half, table[j], base)
-        return jnp.where(pos > last - 1 - half, table[j - 2 * half], out)
+        out = jnp.where(pos < half, shifted(a, j, stride), base)
+        return jnp.where(
+            pos > last - 1 - half, shifted(a, j - 2 * half, stride), out
+        )
 
     head_mask = head_mask_ref[:]  # (C, N) 0/1 block mask, bf16
 
-    k_rows = shifted_table(k, width)
-    v_rows = shifted_table(v, width)
-
+    # Pass 1: the k*k logits (each only (HWp, N) — keep all nine live;
+    # the big shifted K buffers die at the end of each iteration).
     logits = []
-    shifted_v = []
     for jh in range(kernel_size):
-        k_h = clamped(k_rows, jh, row, height)
-        v_h = clamped(v_rows, jh, row, height)
-        k_cols = shifted_table(k_h, 1)
-        v_cols = shifted_table(v_h, 1)
+        k_h = clamped(k, jh, width, row, height)
         for jw in range(kernel_size):
-            k_hw = clamped(k_cols, jw, col, width)
-            shifted_v.append(clamped(v_cols, jw, col, width))
+            k_hw = clamped(k_h, jw, 1, col, width)
             logits.append(
                 jnp.dot(
                     (q * k_hw).astype(jnp.bfloat16),
@@ -186,14 +178,20 @@ def _na_block_kernel(
         denom = denom + e
     inv_denom = 1.0 / denom
 
+    # Pass 2: recompute the V shifts one at a time and accumulate.
     # Head channels are INTERLEAVED by the caller (channel c -> head c % N),
     # so pltpu.repeat's tile-repeat [w_0..w_N, w_0..w_N, ...] is exactly the
     # per-head broadcast.
     attn = jnp.zeros((num_px, channels), dtype=jnp.float32)
-    for e, v_hw in zip(exps, shifted_v):
-        w = e * inv_denom
-        w_full = pltpu.repeat(w, head_dim, 1)  # (HWp, C)
-        attn = attn + w_full * v_hw
+    idx = 0
+    for jh in range(kernel_size):
+        v_h = clamped(v, jh, width, row, height)
+        for jw in range(kernel_size):
+            v_hw = clamped(v_h, jw, 1, col, width)
+            w = exps[idx] * inv_denom
+            w_full = pltpu.repeat(w, head_dim, 1)  # (HWp, C)
+            attn = attn + w_full * v_hw
+            idx += 1
 
     proj = (
         jnp.dot(
@@ -286,12 +284,18 @@ def _na_block_pallas_d1(
     )
     in_specs = [x_spec] + [full(a) for a in args[1:]]
 
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=jax.ShapeDtypeStruct(x_flat.shape, x.dtype),
         in_specs=in_specs,
         out_specs=x_spec,
+        compiler_params=compiler_params,
         interpret=interpret,
     )(*args)
     return out[:, :num_px].reshape(batch, height, width, channels)

@@ -1,0 +1,386 @@
+"""The cultionet-tpu command line interface.
+
+Capability parity with the reference CLI (scripts/cultionet.py:793-984 +
+args.yml): subcommands create / create-predict / train / train-transfer /
+predict / predict-transfer / skfoldcv / version; the argument tree is built
+from a declarative YAML spec (scripts/args.yml); every invocation is archived
+as JSON under ``<project>/commands/``; class metadata persists to
+``data/classes.info``.
+
+Scene inputs are geo-free by default: each region directory under
+``<project>/time_series_vars/<region>/`` holds ``scene.npz`` (arrays ``x``
+(T, H, W, C), ``bounds`` (4,), ``cell_res`` ()) and optionally
+``polygons.json`` ([[ring coords], class_value] pairs). A rasterio-gated
+GeoTIFF reader can populate the same structure when geo libraries exist.
+"""
+
+import argparse
+import datetime
+import json
+import sys
+import typing as T
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+from .. import __version__
+from ..config import CultionetParams
+from ..data.create import create_predict_dataset, create_train_batch
+from ..data.datasets import ChipDataset
+from ..data.loader import ChipLoader
+from ..enums import CLISteps, ModelNames
+from ..utils.logging import set_color_logger
+from ..utils.normalize import NormValues
+from ..utils.project_paths import ProjectPaths, setup_paths
+
+logger = set_color_logger("cultionet_tpu")
+
+ARGS_SPEC = Path(__file__).parent / "args.yml"
+
+SUBCOMMAND_GROUPS = {
+    CLISteps.CREATE: ["shared_project", "shared_dates", "shared_create"],
+    CLISteps.CREATE_PREDICT: [
+        "shared_project",
+        "shared_dates",
+        "shared_create",
+        "create_predict",
+    ],
+    CLISteps.TRAIN: ["shared_project", "shared_model", "train"],
+    CLISteps.TRAIN_TRANSFER: [
+        "shared_project",
+        "shared_model",
+        "train",
+        "transfer",
+    ],
+    CLISteps.PREDICT: ["shared_project", "shared_dates", "predict"],
+    CLISteps.PREDICT_TRANSFER: ["shared_project", "shared_dates", "predict"],
+    CLISteps.SKFOLDCV: ["shared_project", "shared_model", "train", "skfoldcv"],
+    CLISteps.VERSION: [],
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    spec = yaml.safe_load(ARGS_SPEC.read_text())
+    parser = argparse.ArgumentParser(
+        prog="cultionet-tpu",
+        description=(
+            "TPU-native crop-field boundary segmentation from satellite "
+            "image time series"
+        ),
+    )
+    subparsers = parser.add_subparsers(dest="command", required=True)
+    for command, groups in SUBCOMMAND_GROUPS.items():
+        sub = subparsers.add_parser(str(command))
+        for group in groups:
+            for name, arg in spec[group].items():
+                kwargs = dict(arg.get("kwargs", {}))
+                if "type" in kwargs and isinstance(kwargs["type"], str):
+                    kwargs["type"] = {"int": int, "float": float}[
+                        kwargs["type"]
+                    ]
+                sub.add_argument(*arg["flags"], dest=name, **kwargs)
+    return parser
+
+
+def log_command(ppaths: ProjectPaths, args: argparse.Namespace) -> None:
+    """Archive the invocation (reference scripts/cultionet.py:951-962)."""
+    stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S-%f")
+    payload = {
+        "command": " ".join(sys.argv),
+        "args": {
+            k: (str(v) if isinstance(v, Path) else v)
+            for k, v in vars(args).items()
+        },
+        "version": __version__,
+    }
+    (ppaths.commands_path / f"{args.command}_{stamp}.json").write_text(
+        json.dumps(payload, indent=2)
+    )
+
+
+def load_scene(
+    region_path: Path,
+) -> T.Tuple[np.ndarray, tuple, float, T.Optional[list]]:
+    """Load a region scene: scene.npz (+ polygons.json). Falls back to a
+    rasterio GeoTIFF reader when available (data/geotiff.py)."""
+    scene_file = region_path / "scene.npz"
+    if scene_file.is_file():
+        with np.load(scene_file, allow_pickle=False) as data:
+            x = data["x"]
+            bounds = tuple(float(v) for v in data["bounds"])
+            cell_res = float(data["cell_res"])
+    else:
+        from ..data.geotiff import read_time_series
+
+        x, bounds, cell_res = read_time_series(region_path)
+
+    polygons = None
+    poly_file = region_path / "polygons.json"
+    if poly_file.is_file():
+        raw = json.loads(poly_file.read_text())
+        polygons = [
+            (np.asarray(ring, dtype="float64"), int(value))
+            for ring, value in raw
+        ]
+    return x, bounds, cell_res, polygons
+
+
+def iter_regions(ppaths: ProjectPaths, regions) -> T.List[Path]:
+    base = ppaths.image_path
+    if regions:
+        return [base / r for r in regions]
+    if not base.is_dir():
+        return []
+    return sorted(p for p in base.iterdir() if p.is_dir())
+
+
+def write_classes_info(ppaths: ProjectPaths, max_crop_class: int) -> None:
+    ppaths.classes_info_path.parent.mkdir(parents=True, exist_ok=True)
+    ppaths.classes_info_path.write_text(
+        json.dumps(
+            {
+                "max_crop_class": max_crop_class,
+                "edge_class": max_crop_class + 1,
+            }
+        )
+    )
+
+
+def read_classes_info(ppaths: ProjectPaths) -> dict:
+    if ppaths.classes_info_path.is_file():
+        return json.loads(ppaths.classes_info_path.read_text())
+    return {"max_crop_class": 1, "edge_class": 2}
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+
+def create_dataset(args: argparse.Namespace) -> None:
+    ppaths = setup_paths(args.project_path)
+    log_command(ppaths, args)
+    write_classes_info(ppaths, args.max_crop_class)
+
+    for region_path in iter_regions(ppaths, args.regions):
+        x, bounds, cell_res, polygons = load_scene(region_path)
+        out = create_train_batch(
+            image_time_series=x,
+            polygons=polygons,
+            bounds=bounds,
+            cell_res=cell_res,
+            region=region_path.name,
+            process_path=ppaths.process_path,
+            start_date=args.start_date,
+            end_date=args.end_date,
+            max_crop_class=args.max_crop_class,
+            keep_crop_classes=args.keep_crop_classes,
+            nonag_is_unknown=args.nonag_is_unknown,
+            overwrite=args.overwrite,
+        )
+        if out is None:
+            logger.info(f"{region_path.name}: already processed")
+        else:
+            logger.info(f"{region_path.name}: wrote {out.name}")
+
+
+def create_predict(args: argparse.Namespace) -> None:
+    ppaths = setup_paths(args.project_path)
+    log_command(ppaths, args)
+
+    for region_path in iter_regions(ppaths, args.regions):
+        x, bounds, _, _ = load_scene(region_path)
+        paths = create_predict_dataset(
+            image_time_series=x,
+            region=region_path.name,
+            process_path=ppaths.predict_process_path,
+            start_date=args.start_date,
+            end_date=args.end_date,
+            window_size=args.window_size,
+            padding=args.padding,
+            bounds=bounds,
+            num_workers=args.num_workers,
+        )
+        logger.info(f"{region_path.name}: wrote {len(paths)} windows")
+
+
+def _build_params(
+    args: argparse.Namespace, ppaths: ProjectPaths, dataset: ChipDataset
+) -> CultionetParams:
+    class_info = read_classes_info(ppaths)
+    attention = (
+        None if args.attention_weights == "none" else args.attention_weights
+    )
+    return CultionetParams(
+        ckpt_file=ppaths.ckpt_file,
+        dataset=dataset,
+        val_frac=args.val_frac,
+        spatial_partitions=("spatial" if args.spatial_partitions else None),
+        batch_size=args.batch_size,
+        edge_class=class_info["edge_class"],
+        hidden_channels=args.hidden_channels,
+        activation_type=args.activation_type,
+        dropout=args.dropout,
+        dilations=args.dilations,
+        res_block_type=args.res_block_type,
+        attention_weights=attention,
+        pool_by_max=args.pool_by_max,
+        batchnorm_first=args.batchnorm_first,
+        use_latlon=args.use_latlon,
+        temporal_encoder=args.temporal_encoder,
+        optimizer=args.optimizer,
+        loss_name=args.loss_name,
+        learning_rate=args.learning_rate,
+        lr_scheduler=args.lr_scheduler,
+        weight_decay=args.weight_decay,
+        epochs=args.epochs,
+        accumulate_grad_batches=args.accumulate_grad_batches,
+        gradient_clip_val=args.gradient_clip_val,
+        precision=args.precision,
+        devices=args.devices,
+        augment_prob=args.augment_prob,
+        random_seed=args.random_seed,
+        reset_model=args.reset_model,
+        skip_train=args.skip_train,
+        stochastic_weight_averaging=args.stochastic_weight_averaging,
+        finetune=getattr(args, "finetune", None),
+        profiler=args.profiler,
+    )
+
+
+def _norm_values(
+    ppaths: ProjectPaths, dataset: ChipDataset, batch_size: int
+) -> NormValues:
+    norm_path = Path(str(ppaths.norm_file) + ".npz")
+    if norm_path.is_file():
+        return NormValues.from_file(norm_path)
+    class_info = read_classes_info(ppaths)
+    loader = ChipLoader(dataset, batch_size=batch_size)
+    norm = NormValues.from_dataset(loader, class_info=class_info)
+    norm.to_file(norm_path)
+    return norm
+
+
+def train_model(args: argparse.Namespace, transfer: bool = False) -> None:
+    from .. import model as api
+
+    ckpt_name = (
+        ModelNames.CKPT_TRANSFER_NAME if transfer else ModelNames.CKPT_NAME
+    )
+    ppaths = setup_paths(args.project_path, ckpt_name=ckpt_name)
+    log_command(ppaths, args)
+
+    dataset = ChipDataset(ppaths.train_path)
+    if not len(dataset):
+        raise FileNotFoundError(
+            f"No training chips under {ppaths.process_path}"
+        )
+    norm = _norm_values(ppaths, dataset, args.batch_size)
+    dataset.norm_values = norm
+
+    params = _build_params(args, ppaths, dataset)
+
+    if args.profiler:
+        from ..utils.profiling import profile_trace
+
+        with profile_trace(args.profiler):
+            result = (
+                api.fit_transfer(params) if transfer else api.fit(params)
+            )
+    else:
+        result = api.fit_transfer(params) if transfer else api.fit(params)
+    logger.info(
+        f"Training finished: best val_score={result.best_score:.4f} "
+        f"over {len(result.history)} epochs"
+    )
+
+
+def predict_image(args: argparse.Namespace, transfer: bool = False) -> None:
+    from ..model import load_model
+    from ..predict import ScenePredictor
+
+    ckpt_name = (
+        ModelNames.CKPT_TRANSFER_NAME if transfer else ModelNames.CKPT_NAME
+    )
+    ppaths = setup_paths(args.project_path, ckpt_name=ckpt_name)
+    log_command(ppaths, args)
+
+    norm_path = Path(str(ppaths.norm_file) + ".npz")
+    norm = NormValues.from_file(norm_path) if norm_path.is_file() else None
+
+    pattern = f"data_{args.region}*" if args.region else "data*"
+    dataset = ChipDataset(
+        ppaths.predict_path, pattern=pattern, norm_values=norm
+    )
+    if not len(dataset):
+        raise FileNotFoundError(
+            f"No predict chips under {ppaths.predict_process_path}"
+        )
+
+    stem = Path(ppaths.ckpt_file).stem
+    state, _ = load_model(
+        Path(ppaths.ckpt_file).parent / f"{stem}_store", which=args.which_ckpt
+    )
+    predictor = ScenePredictor(state, batch_size=args.predict_batch_size)
+    out_path = args.out_path or (
+        ppaths.predict_path
+        / f"{args.region or 'scene'}_{args.start_date}_{args.end_date}.tif"
+    )
+    written = predictor.predict_to_raster(dataset, out_path)
+    logger.info(f"Wrote {written}")
+
+
+def spatial_kfoldcv(args: argparse.Namespace) -> None:
+    from .. import model as api
+
+    ppaths = setup_paths(args.project_path)
+    log_command(ppaths, args)
+
+    dataset = ChipDataset(ppaths.train_path)
+    norm = _norm_values(ppaths, dataset, args.batch_size)
+    dataset.norm_values = norm
+
+    results = {}
+    for fold_name, train_ds, val_ds in dataset.spatial_kfoldcv_iter(
+        args.k_folds
+    ):
+        params = _build_params(args, ppaths, train_ds)
+        params.ckpt_file = ppaths.ckpt_path / f"{fold_name}.ckpt"
+        params.test_dataset = val_ds
+        result = api.fit(params)
+        results[fold_name] = result.best_score
+        logger.info(f"{fold_name}: best val_score={result.best_score:.4f}")
+
+    (ppaths.ckpt_path / "skfoldcv.json").write_text(
+        json.dumps(results, indent=2)
+    )
+
+
+def main() -> None:
+    parser = build_parser()
+    args = parser.parse_args()
+
+    if args.command == CLISteps.VERSION:
+        print(__version__)
+        return
+    if args.command == CLISteps.CREATE:
+        create_dataset(args)
+    elif args.command == CLISteps.CREATE_PREDICT:
+        create_predict(args)
+    elif args.command == CLISteps.TRAIN:
+        train_model(args)
+    elif args.command == CLISteps.TRAIN_TRANSFER:
+        train_model(args, transfer=True)
+    elif args.command == CLISteps.PREDICT:
+        predict_image(args)
+    elif args.command == CLISteps.PREDICT_TRANSFER:
+        predict_image(args, transfer=True)
+    elif args.command == CLISteps.SKFOLDCV:
+        spatial_kfoldcv(args)
+    else:
+        raise SystemExit(f"Unknown command {args.command}")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,9 +26,11 @@ def build_schedule(
 
     if name == LearningRateSchedulers.ONE_CYCLE_LR:
         # torch OneCycleLR defaults: pct_start 0.3, div_factor 25,
-        # final_div_factor 1e4, cosine annealing.
+        # final_div_factor 1e4, cosine annealing. optax's schedule NaNs
+        # when the warmup/anneal boundaries collapse onto each other, so
+        # keep a minimum horizon for tiny runs.
         return optax.cosine_onecycle_schedule(
-            transition_steps=total_steps,
+            transition_steps=max(total_steps, 10),
             peak_value=learning_rate,
             pct_start=0.3,
             div_factor=25.0,

@@ -1,0 +1,138 @@
+"""CLI end-to-end: create -> train -> create-predict -> predict -> skfoldcv
+(reference tests/test_train.py's CLI-subprocess variant, in-process)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from cultionet_tpu.scripts.cli import build_parser, main
+from cultionet_tpu.scripts import cli
+
+
+def make_project(tmp_path: Path, num_regions=3) -> Path:
+    project = tmp_path / "project"
+    rng = np.random.default_rng(0)
+    for i in range(num_regions):
+        region_dir = project / "time_series_vars" / f"{i:06d}"
+        region_dir.mkdir(parents=True)
+        x = (rng.random((6, 64, 64, 2)) * 10000).astype("int16")
+        np.savez(
+            region_dir / "scene.npz",
+            x=x,
+            bounds=np.asarray([0.0, 0.0, 64.0, 64.0]),
+            cell_res=np.asarray(1.0),
+        )
+        polygons = [
+            [
+                [[5, 5], [25, 5], [25, 25], [5, 25], [5, 5]],
+                1,
+            ],
+            [
+                [[35, 30], [60, 30], [60, 55], [35, 55], [35, 30]],
+                1,
+            ],
+        ]
+        (region_dir / "polygons.json").write_text(json.dumps(polygons))
+    return project
+
+
+def run_cli(argv):
+    import sys
+    from unittest import mock
+
+    with mock.patch.object(sys, "argv", ["cultionet-tpu"] + argv):
+        main()
+
+
+def test_parser_builds():
+    parser = build_parser()
+    args = parser.parse_args(["train", "-p", "/tmp/x", "--epochs", "3"])
+    assert args.epochs == 3
+    assert args.command == "train"
+
+
+def test_cli_full_pipeline(tmp_path):
+    project = make_project(tmp_path)
+
+    run_cli(["create", "-p", str(project)])
+    chips = list((project / "data/train/processed").glob("*.npz"))
+    assert len(chips) == 3
+
+    # idempotent re-run
+    run_cli(["create", "-p", str(project)])
+    assert len(list((project / "data/train/processed").glob("*.npz"))) == 3
+
+    run_cli(
+        [
+            "train",
+            "-p",
+            str(project),
+            "--epochs",
+            "1",
+            "--hidden-channels",
+            "4",
+            "--dilations",
+            "1",
+            "--attention-weights",
+            "none",
+            "--batch-size",
+            "1",
+            "--precision",
+            "32",
+            "--dropout",
+            "0.0",
+            "--val-frac",
+            "0.34",
+            "--augment-prob",
+            "0.0",
+        ]
+    )
+    assert (project / "ckpt" / "last_store" / "best" / "model").exists()
+    assert (project / "ckpt" / "last.norm.npz").exists()
+
+    run_cli(
+        [
+            "create-predict",
+            "-p",
+            str(project),
+            "--regions",
+            "000000",
+            "--window-size",
+            "32",
+            "--padding",
+            "8",
+        ]
+    )
+    windows = list((project / "data/predict/processed").glob("*.npz"))
+    assert len(windows) == 4
+
+    run_cli(
+        [
+            "predict",
+            "-p",
+            str(project),
+            "--region",
+            "000000",
+            "-o",
+            str(project / "out.tif"),
+        ]
+    )
+    out = project / "out.npz"  # no rasterio -> npz fallback
+    assert out.exists()
+    raster = np.load(out)["raster"]
+    assert raster.shape == (3, 64, 64)
+
+    # Commands archived
+    commands = list((project / "commands").glob("*.json"))
+    assert len(commands) >= 4
+    # classes.info written
+    info = json.loads((project / "data" / "classes.info").read_text())
+    assert info == {"max_crop_class": 1, "edge_class": 2}
+
+
+def test_cli_version(capsys):
+    run_cli(["version"])
+    captured = capsys.readouterr()
+    assert captured.out.strip()
