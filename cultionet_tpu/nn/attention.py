@@ -128,14 +128,32 @@ class NeighborhoodAttention2D(nn.Module):
             dropout = nn.Dropout(rate=self.attn_drop, deterministic=not training)
             weights_fn = dropout
 
-        out = neighborhood_attention_2d(
-            split(q),
-            split(k),
-            split(v),
-            kernel_size=self.kernel_size,
-            dilation=self.dilation,
-            weights_fn=weights_fn,
+        from ..ops.flags import pallas_natten_enabled
+
+        use_pallas = pallas_natten_enabled() and not (
+            training and self.attn_drop > 0
         )
+        if use_pallas:
+            # Fused Mosaic kernel (Pallas fwd, XLA bwd). Attention dropout
+            # requires the in-graph weights hook -> XLA path during training.
+            from ..ops.natten_pallas import na2d_fused
+
+            out = na2d_fused(
+                split(q),
+                split(k),
+                split(v),
+                self.kernel_size,
+                self.dilation,
+            )
+        else:
+            out = neighborhood_attention_2d(
+                split(q),
+                split(k),
+                split(v),
+                kernel_size=self.kernel_size,
+                dilation=self.dilation,
+                weights_fn=weights_fn,
+            )
         out = rearrange(out, "b h w n d -> b h w (n d)")
         out = nn.Dense(
             channels,

@@ -339,6 +339,188 @@ def na_block_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Attention-core kernel: q, k, v -> out, grid over (batch, head).
+#
+# Per-program working set is O(HWp x head_dim) regardless of total channel
+# width, so this compiles and fits VMEM at every resolution/width the model
+# uses (the fully fused block above is the aggressive variant for small C).
+# ---------------------------------------------------------------------------
+
+
+def _na2d_core_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, kernel_size, height, width
+):
+    from jax.experimental.pallas import tpu as pltpu
+
+    num_px = q_ref.shape[-2]
+    head_dim = q_ref.shape[-1]
+    half = kernel_size // 2
+    scale = head_dim**-0.5
+
+    q = q_ref[0, 0] * scale  # (HWp, D)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+
+    pixel = jax.lax.broadcasted_iota(jnp.int32, (num_px, head_dim), 0)
+    row = pixel // width
+    col = pixel - row * width
+
+    def shifted(a, s, stride):
+        if s == 0:
+            return a
+        return pltpu.roll(a, (-s * stride) % num_px, 0)
+
+    def clamped(a, j, stride, pos, last):
+        base = shifted(a, j - half, stride)
+        if half == 0:
+            return base
+        out = jnp.where(pos < half, shifted(a, j, stride), base)
+        return jnp.where(
+            pos > last - 1 - half, shifted(a, j - 2 * half, stride), out
+        )
+
+    logits = []
+    for jh in range(kernel_size):
+        k_h = clamped(k, jh, width, row, height)
+        for jw in range(kernel_size):
+            k_hw = clamped(k_h, jw, 1, col, width)
+            logits.append(jnp.sum(q * k_hw, axis=1, keepdims=True))
+
+    max_logit = logits[0]
+    for l in logits[1:]:
+        max_logit = jnp.maximum(max_logit, l)
+    exps = [jnp.exp(l - max_logit) for l in logits]
+    denom = exps[0]
+    for e in exps[1:]:
+        denom = denom + e
+    inv_denom = 1.0 / denom
+
+    out = jnp.zeros((num_px, head_dim), dtype=jnp.float32)
+    idx = 0
+    for jh in range(kernel_size):
+        v_h = clamped(v, jh, width, row, height)
+        for jw in range(kernel_size):
+            v_hw = clamped(v_h, jw, 1, col, width)
+            out = out + (exps[idx] * inv_denom) * v_hw
+            idx += 1
+
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _na2d_pallas_d1(
+    q: Array, k: Array, v: Array, kernel_size: int, interpret: bool = False
+) -> Array:
+    """(B, H, W, N, D) neighborhood attention, dilation 1, grid (B, N)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, height, width, num_heads, head_dim = q.shape
+    num_px = height * width
+    num_px_pad = -(-num_px // 32) * 32
+
+    def to_flat(a):
+        a = jnp.moveaxis(a.reshape(batch, num_px, num_heads, head_dim), 1, 2)
+        if num_px_pad != num_px:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, num_px_pad - num_px), (0, 0)))
+        return a.astype(jnp.float32)  # Mosaic rolls need 32-bit lanes
+
+    qf, kf, vf = to_flat(q), to_flat(k), to_flat(v)
+
+    spec = pl.BlockSpec(
+        (1, 1, num_px_pad, head_dim),
+        lambda b, n: (b, n, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(
+        _na2d_core_kernel,
+        kernel_size=kernel_size,
+        height=height,
+        width=width,
+    )
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch, num_heads),
+        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(qf, kf, vf)
+    out = jnp.moveaxis(out, 2, 1)[:, :num_px]
+    return out.reshape(batch, height, width, num_heads, head_dim)
+
+
+def na2d_pallas(
+    q: Array,
+    k: Array,
+    v: Array,
+    kernel_size: int,
+    dilation: int = 1,
+    interpret: bool = False,
+) -> Array:
+    """Pallas neighborhood attention, drop-in for
+    ops.natten.neighborhood_attention_2d (NATTEN clamped-window semantics;
+    dilation via coset reshape; XLA fallback for k > 3 or ragged cosets)."""
+    _, height, width, _, _ = q.shape
+    if kernel_size > 3 or (
+        dilation > 1 and (height % dilation or width % dilation)
+    ):
+        return neighborhood_attention_2d(q, k, v, kernel_size, dilation)
+    if dilation > 1:
+        pattern = "b (hc dh) (wc dw) n d -> (b dh dw) hc wc n d"
+        inverse = "(b dh dw) hc wc n d -> b (hc dh) (wc dw) n d"
+        sizes = dict(dh=dilation, dw=dilation)
+        out = _na2d_pallas_d1(
+            rearrange(q, pattern, **sizes),
+            rearrange(k, pattern, **sizes),
+            rearrange(v, pattern, **sizes),
+            kernel_size,
+            interpret=interpret,
+        )
+        return rearrange(out, inverse, **sizes)
+    return _na2d_pallas_d1(q, k, v, kernel_size, interpret=interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def na2d_fused(
+    q: Array,
+    k: Array,
+    v: Array,
+    kernel_size: int,
+    dilation: int = 1,
+    interpret: bool = False,
+) -> Array:
+    """na2d with Pallas forward and XLA backward (exact same math)."""
+    return na2d_pallas(q, k, v, kernel_size, dilation, interpret=interpret)
+
+
+def _na2d_fused_fwd(q, k, v, kernel_size, dilation, interpret):
+    out = na2d_pallas(q, k, v, kernel_size, dilation, interpret=interpret)
+    return out, (q, k, v)
+
+
+def _na2d_fused_bwd(kernel_size, dilation, interpret, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: neighborhood_attention_2d(
+            q_, k_, v_, kernel_size, dilation
+        ),
+        q,
+        k,
+        v,
+    )
+    return vjp(g)
+
+
+na2d_fused.defvjp(_na2d_fused_fwd, _na2d_fused_bwd)
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp wrapper: Pallas forward, XLA backward.
 # ---------------------------------------------------------------------------
 
