@@ -1,0 +1,265 @@
+"""Python bindings for the native chipstore loader (ctypes).
+
+The high-throughput data path: chips packed into one mmap'd binary file,
+batches assembled by C++ worker threads with shuffled-epoch prefetch
+(native/chipstore.cpp), yielded as device-ready Batch pytrees. This replaces
+per-file joblib/npz reads + Python worker threads on the hot training path;
+the file-per-chip ChipDataset remains the flexible/interchange format.
+"""
+
+import ctypes
+import struct
+import subprocess
+import typing as T
+from pathlib import Path
+
+import numpy as np
+
+from .batch import Batch
+
+_MAGIC = b"CTS1"
+_VERSION = 1
+_META_FLOATS = 8
+
+_NATIVE_DIR = Path(__file__).parent.parent / "native"
+_SOURCE = _NATIVE_DIR / "chipstore.cpp"
+_LIB_PATH = _NATIVE_DIR / "libchipstore.so"
+
+_lib: T.Optional[ctypes.CDLL] = None
+
+
+def _build_library() -> Path:
+    cmd = [
+        "g++",
+        "-O3",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-pthread",
+        str(_SOURCE),
+        "-o",
+        str(_LIB_PATH),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def load_library() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() or (
+        _SOURCE.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    ):
+        _build_library()
+    lib = ctypes.CDLL(str(_LIB_PATH))
+
+    lib.cs_open.restype = ctypes.c_void_p
+    lib.cs_open.argtypes = [ctypes.c_char_p]
+    lib.cs_num_chips.restype = ctypes.c_int64
+    lib.cs_num_chips.argtypes = [ctypes.c_void_p]
+    lib.cs_dims.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32)]
+    lib.cs_read_batch.restype = ctypes.c_int
+    lib.cs_read_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.cs_prefetch_start.restype = ctypes.c_int
+    lib.cs_prefetch_start.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_uint64,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.cs_next_batch.restype = ctypes.c_int64
+    lib.cs_next_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.cs_prefetch_stop.argtypes = [ctypes.c_void_p]
+    lib.cs_close.argtypes = [ctypes.c_void_p]
+
+    _lib = lib
+    return lib
+
+
+def write_chipstore(
+    path: T.Union[str, Path],
+    batches: T.Iterable[Batch],
+) -> Path:
+    """Pack an iterable of single-chip Batches into one chipstore file."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+
+    chips = list(batches)
+    if not chips:
+        raise ValueError("No chips to write")
+    first = chips[0]
+    _, t, h, w, c = first.x.shape
+    has_labels = first.y is not None
+
+    with open(path, "wb") as dst:
+        dst.write(
+            struct.pack(
+                "<4sIQIIIIII",
+                _MAGIC,
+                _VERSION,
+                len(chips),
+                t,
+                h,
+                w,
+                c,
+                1 if has_labels else 0,
+                0,
+            )
+        )
+        for chip in chips:
+            assert chip.x.shape == (1, t, h, w, c), "chip shape mismatch"
+            dst.write(
+                np.ascontiguousarray(chip.x[0], dtype="<f4").tobytes()
+            )
+            if has_labels:
+                dst.write(
+                    np.ascontiguousarray(chip.y[0], dtype="<i4").tobytes()
+                )
+                dst.write(
+                    np.ascontiguousarray(chip.bdist[0], dtype="<f4").tobytes()
+                )
+            meta = np.zeros(_META_FLOATS, dtype="<f4")
+            for i, name in enumerate(("left", "bottom", "right", "top")):
+                value = getattr(chip, name)
+                if value is not None:
+                    meta[i] = float(np.asarray(value)[0])
+            meta[4] = (meta[1] + meta[3]) / 2.0  # lat
+            meta[5] = (meta[0] + meta[2]) / 2.0  # lon
+            dst.write(meta.tobytes())
+    return path
+
+
+class ChipStore:
+    """mmap'd chipstore reader."""
+
+    def __init__(self, path: T.Union[str, Path]):
+        self.lib = load_library()
+        self.handle = self.lib.cs_open(str(path).encode())
+        if not self.handle:
+            raise IOError(f"Cannot open chipstore {path}")
+        dims = (ctypes.c_uint32 * 5)()
+        self.lib.cs_dims(self.handle, dims)
+        self.t, self.h, self.w, self.c, has_labels = (
+            int(dims[0]),
+            int(dims[1]),
+            int(dims[2]),
+            int(dims[3]),
+            int(dims[4]),
+        )
+        self.has_labels = bool(has_labels)
+        self.num_chips = int(self.lib.cs_num_chips(self.handle))
+        self._prefetching = False
+
+    def __len__(self) -> int:
+        return self.num_chips
+
+    def _alloc(self, n: int):
+        x = np.empty((n, self.t, self.h, self.w, self.c), dtype="float32")
+        y = (
+            np.empty((n, self.h, self.w), dtype="int32")
+            if self.has_labels
+            else None
+        )
+        bdist = (
+            np.empty((n, self.h, self.w), dtype="float32")
+            if self.has_labels
+            else None
+        )
+        meta = np.empty((n, _META_FLOATS), dtype="float32")
+        return x, y, bdist, meta
+
+    @staticmethod
+    def _ptr(a, ctype):
+        if a is None:
+            return None
+        return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+    def _to_batch(self, x, y, bdist, meta, n) -> Batch:
+        return Batch(
+            x=x[:n],
+            y=None if y is None else y[:n],
+            bdist=None if bdist is None else bdist[:n],
+            left=meta[:n, 0],
+            bottom=meta[:n, 1],
+            right=meta[:n, 2],
+            top=meta[:n, 3],
+            lat=meta[:n, 4],
+            lon=meta[:n, 5],
+        )
+
+    def read_batch(self, indices: T.Sequence[int]) -> Batch:
+        n = len(indices)
+        idx = np.asarray(indices, dtype="int64")
+        x, y, bdist, meta = self._alloc(n)
+        rc = self.lib.cs_read_batch(
+            self.handle,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            self._ptr(x, ctypes.c_float),
+            self._ptr(y, ctypes.c_int32),
+            self._ptr(bdist, ctypes.c_float),
+            self._ptr(meta, ctypes.c_float),
+        )
+        if rc != 0:
+            raise IndexError("chip index out of range")
+        return self._to_batch(x, y, bdist, meta, n)
+
+    def iter_prefetched(
+        self,
+        batch_size: int,
+        seed: int = 42,
+        num_threads: int = 2,
+        max_queue: int = 4,
+        num_batches: T.Optional[int] = None,
+    ) -> T.Iterator[Batch]:
+        """Shuffled, endlessly-reshuffling prefetched batches assembled by
+        the native worker threads."""
+        if num_batches is None:
+            num_batches = max(1, self.num_chips // batch_size)
+        rc = self.lib.cs_prefetch_start(
+            self.handle, batch_size, seed, num_threads, max_queue
+        )
+        if rc != 0:
+            raise RuntimeError("prefetch already running")
+        try:
+            for _ in range(num_batches):
+                x, y, bdist, meta = self._alloc(batch_size)
+                n = self.lib.cs_next_batch(
+                    self.handle,
+                    self._ptr(x, ctypes.c_float),
+                    self._ptr(y, ctypes.c_int32),
+                    self._ptr(bdist, ctypes.c_float),
+                    self._ptr(meta, ctypes.c_float),
+                )
+                if n <= 0:
+                    break
+                yield self._to_batch(x, y, bdist, meta, int(n))
+        finally:
+            self.lib.cs_prefetch_stop(self.handle)
+
+    def close(self) -> None:
+        if self.handle:
+            self.lib.cs_close(self.handle)
+            self.handle = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,281 @@
+// chipstore: a native binary chip container + multithreaded batch loader.
+//
+// The TPU-native replacement for the reference's joblib/zlib `.pt` chip files
+// and torch DataLoader worker processes (reference data/data.py:281-307,
+// data/modules.py:11-92): fixed-shape chips in one mmap'd file, zero-copy
+// reads, and a C++ background prefetch pipeline that assembles shuffled
+// batches into caller-provided buffers while the accelerator computes.
+//
+// Exposed as a plain C ABI consumed via ctypes (cultionet_tpu/data/chipstore.py).
+//
+// File layout (little endian):
+//   header:
+//     char     magic[4] = "CTS1"
+//     uint32   version  = 1
+//     uint64   num_chips
+//     uint32   t, h, w, c          // x dims per chip
+//     uint32   has_labels          // 1 if y + bdist present
+//     uint32   reserved
+//   per chip (contiguous records):
+//     float32  x[t*h*w*c]
+//     int32    y[h*w]              // when has_labels
+//     float32  bdist[h*w]          // when has_labels
+//     float32  meta[8]             // left, bottom, right, top, lat, lon, 0, 0
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <queue>
+#include <random>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+constexpr uint32_t kMetaFloats = 8;
+
+struct Header {
+  char magic[4];
+  uint32_t version;
+  uint64_t num_chips;
+  uint32_t t, h, w, c;
+  uint32_t has_labels;
+  uint32_t reserved;
+};
+
+struct Store {
+  int fd = -1;
+  const uint8_t* data = nullptr;
+  size_t file_size = 0;
+  Header header{};
+  size_t x_bytes = 0;
+  size_t y_bytes = 0;
+  size_t bdist_bytes = 0;
+  size_t record_bytes = 0;
+
+  // Prefetch pipeline state
+  struct Buffers {
+    std::vector<float> x;
+    std::vector<int32_t> y;
+    std::vector<float> bdist;
+    std::vector<float> meta;
+    int64_t count = 0;
+  };
+  std::vector<std::thread> workers;
+  std::deque<Buffers> ready;
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_space;
+  std::atomic<bool> stop{false};
+  std::vector<uint64_t> order;
+  size_t cursor = 0;
+  std::mutex cursor_mu;
+  int64_t batch_size = 0;
+  size_t max_queue = 4;
+  bool running = false;
+
+  const uint8_t* record(uint64_t index) const {
+    return data + sizeof(Header) + index * record_bytes;
+  }
+};
+
+void copy_chip(const Store* s, uint64_t chip, float* x_out, int32_t* y_out,
+               float* bdist_out, float* meta_out) {
+  const uint8_t* rec = s->record(chip);
+  std::memcpy(x_out, rec, s->x_bytes);
+  rec += s->x_bytes;
+  if (s->header.has_labels) {
+    if (y_out) std::memcpy(y_out, rec, s->y_bytes);
+    rec += s->y_bytes;
+    if (bdist_out) std::memcpy(bdist_out, rec, s->bdist_bytes);
+    rec += s->bdist_bytes;
+  }
+  if (meta_out) std::memcpy(meta_out, rec, kMetaFloats * sizeof(float));
+}
+
+void worker_loop(Store* s, uint64_t seed) {
+  std::mt19937_64 rng(seed);
+  const size_t x_elems = s->x_bytes / sizeof(float);
+  const size_t hw = size_t(s->header.h) * s->header.w;
+
+  while (!s->stop.load()) {
+    // Claim a batch worth of indices.
+    std::vector<uint64_t> indices;
+    {
+      std::lock_guard<std::mutex> lock(s->cursor_mu);
+      for (int64_t i = 0; i < s->batch_size; ++i) {
+        if (s->cursor >= s->order.size()) {
+          // New epoch: reshuffle.
+          std::shuffle(s->order.begin(), s->order.end(), rng);
+          s->cursor = 0;
+        }
+        indices.push_back(s->order[s->cursor++]);
+      }
+    }
+
+    Store::Buffers buf;
+    buf.count = int64_t(indices.size());
+    buf.x.resize(indices.size() * x_elems);
+    buf.meta.resize(indices.size() * kMetaFloats);
+    if (s->header.has_labels) {
+      buf.y.resize(indices.size() * hw);
+      buf.bdist.resize(indices.size() * hw);
+    }
+    for (size_t i = 0; i < indices.size(); ++i) {
+      copy_chip(s, indices[i], buf.x.data() + i * x_elems,
+                s->header.has_labels ? buf.y.data() + i * hw : nullptr,
+                s->header.has_labels ? buf.bdist.data() + i * hw : nullptr,
+                buf.meta.data() + i * kMetaFloats);
+    }
+
+    std::unique_lock<std::mutex> lock(s->mu);
+    s->cv_space.wait(lock, [s] {
+      return s->stop.load() || s->ready.size() < s->max_queue;
+    });
+    if (s->stop.load()) return;
+    s->ready.push_back(std::move(buf));
+    s->cv_ready.notify_one();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* cs_open(const char* path) {
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    ::close(fd);
+    return nullptr;
+  }
+  void* mapped = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  if (mapped == MAP_FAILED) {
+    ::close(fd);
+    return nullptr;
+  }
+  auto* s = new Store();
+  s->fd = fd;
+  s->data = static_cast<const uint8_t*>(mapped);
+  s->file_size = size_t(st.st_size);
+  std::memcpy(&s->header, s->data, sizeof(Header));
+  if (std::memcmp(s->header.magic, "CTS1", 4) != 0) {
+    munmap(mapped, st.st_size);
+    ::close(fd);
+    delete s;
+    return nullptr;
+  }
+  const Header& h = s->header;
+  s->x_bytes = size_t(h.t) * h.h * h.w * h.c * sizeof(float);
+  s->y_bytes = h.has_labels ? size_t(h.h) * h.w * sizeof(int32_t) : 0;
+  s->bdist_bytes = h.has_labels ? size_t(h.h) * h.w * sizeof(float) : 0;
+  s->record_bytes =
+      s->x_bytes + s->y_bytes + s->bdist_bytes + kMetaFloats * sizeof(float);
+  return s;
+}
+
+int64_t cs_num_chips(void* handle) {
+  return int64_t(static_cast<Store*>(handle)->header.num_chips);
+}
+
+void cs_dims(void* handle, uint32_t* dims_out) {
+  const Header& h = static_cast<Store*>(handle)->header;
+  dims_out[0] = h.t;
+  dims_out[1] = h.h;
+  dims_out[2] = h.w;
+  dims_out[3] = h.c;
+  dims_out[4] = h.has_labels;
+}
+
+// Synchronous batched read of explicit indices.
+int cs_read_batch(void* handle, const int64_t* indices, int64_t n,
+                  float* x_out, int32_t* y_out, float* bdist_out,
+                  float* meta_out) {
+  auto* s = static_cast<Store*>(handle);
+  const size_t x_elems = s->x_bytes / sizeof(float);
+  const size_t hw = size_t(s->header.h) * s->header.w;
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t chip = uint64_t(indices[i]);
+    if (chip >= s->header.num_chips) return -1;
+    copy_chip(s, chip, x_out + size_t(i) * x_elems,
+              y_out ? y_out + size_t(i) * hw : nullptr,
+              bdist_out ? bdist_out + size_t(i) * hw : nullptr,
+              meta_out ? meta_out + size_t(i) * kMetaFloats : nullptr);
+  }
+  return 0;
+}
+
+// Background prefetch pipeline: shuffled epochs, double-buffered.
+int cs_prefetch_start(void* handle, int64_t batch_size, uint64_t seed,
+                      int num_threads, int max_queue) {
+  auto* s = static_cast<Store*>(handle);
+  if (s->running || batch_size <= 0) return -1;
+  s->batch_size = batch_size;
+  s->max_queue = size_t(max_queue > 0 ? max_queue : 4);
+  s->order.resize(s->header.num_chips);
+  for (uint64_t i = 0; i < s->header.num_chips; ++i) s->order[i] = i;
+  std::mt19937_64 rng(seed);
+  std::shuffle(s->order.begin(), s->order.end(), rng);
+  s->cursor = 0;
+  s->stop.store(false);
+  int threads = num_threads > 0 ? num_threads : 2;
+  for (int t = 0; t < threads; ++t) {
+    s->workers.emplace_back(worker_loop, s, seed + 1 + uint64_t(t));
+  }
+  s->running = true;
+  return 0;
+}
+
+// Blocking: fills caller buffers with the next prefetched batch.
+int64_t cs_next_batch(void* handle, float* x_out, int32_t* y_out,
+                      float* bdist_out, float* meta_out) {
+  auto* s = static_cast<Store*>(handle);
+  Store::Buffers buf;
+  {
+    std::unique_lock<std::mutex> lock(s->mu);
+    s->cv_ready.wait(lock, [s] { return s->stop.load() || !s->ready.empty(); });
+    if (s->ready.empty()) return -1;
+    buf = std::move(s->ready.front());
+    s->ready.pop_front();
+    s->cv_space.notify_one();
+  }
+  std::memcpy(x_out, buf.x.data(), buf.x.size() * sizeof(float));
+  if (y_out && !buf.y.empty())
+    std::memcpy(y_out, buf.y.data(), buf.y.size() * sizeof(int32_t));
+  if (bdist_out && !buf.bdist.empty())
+    std::memcpy(bdist_out, buf.bdist.data(), buf.bdist.size() * sizeof(float));
+  if (meta_out)
+    std::memcpy(meta_out, buf.meta.data(), buf.meta.size() * sizeof(float));
+  return buf.count;
+}
+
+void cs_prefetch_stop(void* handle) {
+  auto* s = static_cast<Store*>(handle);
+  if (!s->running) return;
+  s->stop.store(true);
+  s->cv_ready.notify_all();
+  s->cv_space.notify_all();
+  for (auto& t : s->workers) t.join();
+  s->workers.clear();
+  s->ready.clear();
+  s->running = false;
+}
+
+void cs_close(void* handle) {
+  auto* s = static_cast<Store*>(handle);
+  cs_prefetch_stop(s);
+  if (s->data) munmap(const_cast<uint8_t*>(s->data), s->file_size);
+  if (s->fd >= 0) ::close(s->fd);
+  delete s;
+}
+
+}  // extern "C"
