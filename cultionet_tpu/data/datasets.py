@@ -16,7 +16,6 @@ from pathlib import Path
 import jax.numpy as jnp
 import numpy as np
 
-from ..augment import AUGMENTATION_NAMES, Augmenters
 from ..errors import TensorShapeError
 from .batch import Batch
 from .constant import SCALE_FACTOR
@@ -46,6 +45,9 @@ class ChipDataset:
         self.rng = np.random.default_rng(random_seed)
 
         if augmentations is None:
+            # Imported lazily: augment depends on data.batch (circularity).
+            from ..augment import AUGMENTATION_NAMES
+
             augmentations = [n for n in AUGMENTATION_NAMES if n != "none"]
         self.augmentations = list(augmentations)
 
@@ -114,6 +116,8 @@ class ChipDataset:
 
         if batch.y is not None and self.augment_prob > 0:
             if self.rng.random() > (1.0 - self.augment_prob):
+                from ..augment import Augmenters
+
                 aug_name = str(self.rng.choice(self.augmentations))
                 batch = Augmenters([aug_name], rng=self.rng)(batch)
 

@@ -19,10 +19,7 @@ def pallas_natten_enabled() -> bool:
     env = os.environ.get("CULTIONET_TPU_PALLAS_NATTEN")
     if env is not None:
         return env not in ("0", "false", "False")
-    # Auto: only on real TPU backends (the kernel compiles via Mosaic).
-    try:
-        import jax
-
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    # Default off: the Mosaic kernels are a measured opt-in (several minutes
+    # of compile across the model's NA configs); enable with
+    # CULTIONET_TPU_PALLAS_NATTEN=1 or set_pallas_natten(True).
+    return False

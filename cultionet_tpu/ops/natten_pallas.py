@@ -467,8 +467,13 @@ def na2d_pallas(
     ops.natten.neighborhood_attention_2d (NATTEN clamped-window semantics;
     dilation via coset reshape; XLA fallback for k > 3 or ragged cosets)."""
     _, height, width, _, _ = q.shape
-    if kernel_size > 3 or (
-        dilation > 1 and (height % dilation or width % dilation)
+    # VMEM bound: per-program buffers are (H*W/dilation^2, 128-lane-padded)
+    # fp32; beyond ~8k flat pixels the Mosaic stack overflows 100MB.
+    flat_pixels = (height // max(dilation, 1)) * (width // max(dilation, 1))
+    if (
+        kernel_size > 3
+        or flat_pixels > 8192
+        or (dilation > 1 and (height % dilation or width % dilation))
     ):
         return neighborhood_attention_2d(q, k, v, kernel_size, dilation)
     if dilation > 1:

@@ -214,6 +214,17 @@ def fit(
     tx = _build_tx(params, steps_per_epoch, frozen_mask=trainable_mask)
     state = state.replace(tx=tx, opt_state=tx.init(state.params))
 
+    # LR monitor (reference LearningRateMonitor callback, callbacks.py:252).
+    lr_schedule = build_schedule(
+        params.lr_scheduler,
+        learning_rate=params.learning_rate,
+        epochs=params.epochs,
+        steps_per_epoch=max(
+            1, steps_per_epoch // max(1, params.accumulate_grad_batches)
+        ),
+        steplr_step_size=params.steplr_step_size,
+    )
+
     ckpt = None
     start_epoch = 0
     hyperparams = {
@@ -294,6 +305,13 @@ def fit(
             "vef1": val_metrics["edge_f1"],
             "vcf1": val_metrics["crop_f1"],
             "vmae": val_metrics["dist_mae"],
+            "lr_sch": float(
+                lr_schedule(
+                    (epoch + 1)
+                    * steps_per_epoch
+                    // max(1, params.accumulate_grad_batches)
+                )
+            ),
         }
         history.append(row)
         logger.info(
@@ -335,6 +353,15 @@ def fit(
             )
             existing.append(row)
             metrics_file.write_text(json.dumps(existing, indent=2))
+
+    if params.model_pruning:
+        from .prune import l1_unstructured_prune
+
+        state = state.replace(
+            params=l1_unstructured_prune(
+                cast_floating(state.params, jnp.float32)
+            )
+        )
 
     if swa_params is not None:
         state = state.replace(params=swa_params)
