@@ -14,3 +14,19 @@ __version__ = "0.1.0"
 
 from . import enums  # noqa: F401
 from . import losses  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy top-level API (mirrors the reference package surface,
+    # src/cultionet/__init__.py) without importing the full stack at
+    # package-import time.
+    if name in ("fit", "fit_transfer", "load_model", "predict",
+                "predict_lightning"):
+        from . import model
+
+        return getattr(model, name)
+    if name == "CultionetParams":
+        from .config import CultionetParams
+
+        return CultionetParams
+    raise AttributeError(name)

@@ -21,6 +21,79 @@ from flax import struct
 
 Array = jax.Array
 
+_SHIM_INSTALLED = False
+
+
+def _install_torch_geometric_shim() -> None:
+    """Register a permissive import shim so v1-era reference chips (pickled
+    torch_geometric Data objects) can be unpickled without the dependency."""
+    global _SHIM_INSTALLED
+    if _SHIM_INSTALLED:
+        return
+    try:
+        import torch_geometric  # noqa: F401
+
+        _SHIM_INSTALLED = True
+        return
+    except ImportError:
+        pass
+
+    import importlib.abc
+    import importlib.machinery
+    import sys
+    import types
+
+    class _ShimLoader(importlib.abc.Loader):
+        def create_module(self, spec):
+            mod = types.ModuleType(spec.name)
+            mod.__path__ = []
+
+            def getattr_(name, _mod=mod):
+                if name.startswith("__"):
+                    raise AttributeError(name)
+                cls = type(
+                    name,
+                    (),
+                    {
+                        "__init__": lambda self, *a, **k: self.__dict__.update(
+                            k
+                        ),
+                        "__setstate__": lambda self, st: self.__dict__.update(
+                            st if isinstance(st, dict) else {"_state": st}
+                        ),
+                    },
+                )
+                setattr(_mod, name, cls)
+                return cls
+
+            mod.__getattr__ = getattr_
+            return mod
+
+        def exec_module(self, module):
+            pass
+
+    class _ShimFinder(importlib.abc.MetaPathFinder):
+        def find_spec(self, fullname, path=None, target=None):
+            if fullname.split(".")[0] == "torch_geometric":
+                return importlib.machinery.ModuleSpec(
+                    fullname, _ShimLoader(), is_package=True
+                )
+            return None
+
+    sys.meta_path.insert(0, _ShimFinder())
+    _SHIM_INSTALLED = True
+
+
+def _extract_pyg_store(obj) -> T.Optional[dict]:
+    """Pull the tensor mapping out of an unpickled torch_geometric Data."""
+    store = getattr(obj, "_store", None)
+    if store is None:
+        return None
+    for value in store.__dict__.values():
+        if isinstance(value, dict) and "x" in value:
+            return value
+    return None
+
 
 @struct.dataclass
 class Batch:
@@ -109,11 +182,59 @@ class Batch:
     @classmethod
     def from_reference_file(cls, path: T.Union[str, Path]) -> "Batch":
         """Read a reference-framework joblib ``.pt`` chip (data/data.py:281-307)
-        and convert to this framework's layout."""
+        and convert to this framework's layout. Handles both the v2 dict
+        format and v1-era torch_geometric graph chips (node-flattened
+        (H*W, C*T) features) via an import shim — no torch_geometric needed."""
         import joblib
 
+        _install_torch_geometric_shim()
         stored = joblib.load(path)
+        if not isinstance(stored, (dict, T.Mapping)):
+            stored = _extract_pyg_store(stored)
+            if stored is None:
+                raise ValueError(f"Unrecognized reference chip format: {path}")
+            return cls.from_reference_pyg(stored, batch_id=(Path(path).name,))
         return cls.from_reference_dict(stored, batch_id=(Path(path).name,))
+
+    @classmethod
+    def from_reference_pyg(
+        cls, store: T.Mapping, batch_id: T.Optional[T.Tuple[str, ...]] = None
+    ) -> "Batch":
+        """Convert a v1 node-format chip: x (H*W, C*T) band-major columns,
+        y/bdist (H*W,) -> this framework's (1, T, H, W, C) layout."""
+        height = int(store["height"])
+        width = int(store["width"])
+        ntime = int(store["ntime"])
+        nbands = int(store["nbands"])
+
+        x = np.asarray(store["x"], dtype="float32")
+        assert x.shape == (height * width, ntime * nbands), (
+            f"Unexpected node-feature shape {x.shape}"
+        )
+        # columns are (band, time) blocks: (hw, c*t) -> (t, h, w, c)
+        x = x.reshape(height, width, nbands, ntime)
+        x = np.transpose(x, (3, 0, 1, 2))[None]
+
+        def img(key):
+            if key not in store or store[key] is None:
+                return None
+            arr = np.asarray(store[key])
+            return jnp.asarray(arr.reshape(1, height, width))
+
+        scalar = lambda key: (
+            jnp.asarray([np.float32(store[key])]) if key in store else None
+        )
+
+        return cls(
+            x=jnp.asarray(x),
+            y=img("y"),
+            bdist=img("bdist"),
+            left=scalar("left"),
+            bottom=scalar("bottom"),
+            right=scalar("right"),
+            top=scalar("top"),
+            batch_id=batch_id,
+        )
 
     @classmethod
     def from_reference_dict(
