@@ -89,9 +89,19 @@ class ScenePredictor:
         state: TrainState,
         batch_size: int = 8,
         precision: str = "bf16",
+        pallas_attention: T.Optional[bool] = None,
     ):
-        if jax.devices()[0].platform == "cpu":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if not on_tpu:
             precision = "fp32"
+        if pallas_attention is None:
+            # 2.2x end-to-end predict throughput on TPU (measured; see
+            # BASELINE.md) at ~15s extra compile — on by default there.
+            pallas_attention = on_tpu
+        if pallas_attention:
+            from .ops.flags import set_pallas_natten
+
+            set_pallas_natten(True)
         self.state = state
         self.batch_size = batch_size
         self.predict_step = make_predict_step(precision=precision)
