@@ -184,6 +184,8 @@ class ChipDataset:
             mask[fold_idx] = True
             train_files = [f for f, m in zip(self.files, mask) if not m]
             val_files = [f for f, m in zip(self.files, mask) if m]
+            if not train_files or not val_files:
+                continue
             val_ds = self._subset(val_files)
             val_ds.augment_prob = 0.0
             yield f"fold{fold_num}", self._subset(train_files), val_ds

@@ -88,6 +88,14 @@ def spatial_kfold_indices(
     cells = _quadtree_cells(
         np.asarray(centroids, dtype=np.float64), max_per_cell=max(1, target // 2)
     )
+    if len(cells) < k:
+        # Degenerate geometry (e.g. coincident centroids): random k-fold.
+        order = rng.permutation(n)
+        return [
+            np.asarray(sorted(fold), dtype=np.int64)
+            for fold in np.array_split(order, k)
+            if len(fold)
+        ]
     order = rng.permutation(len(cells))
 
     folds: T.List[T.List[int]] = [[] for _ in range(k)]

@@ -249,13 +249,25 @@ def fit(
             logger.info(f"Resumed from epoch {meta['epoch']}")
 
     mesh = None
+    shard_batch = None
     if params.devices > 1:
-        from ..parallel import create_mesh, replicate_state, shard_batch
+        assert params.batch_size % params.devices == 0, (
+            f"batch_size {params.batch_size} must divide evenly over "
+            f"{params.devices} devices"
+        )
+        from ..parallel import create_mesh, replicate_state
+        from ..parallel import shard_batch as _shard_batch
 
+        shard_batch = _shard_batch
         mesh = create_mesh(num_devices=params.devices)
         state = replicate_state(state, mesh)
 
     train_step, eval_step = _make_steps(params, mesh=mesh)
+    # Partial validation batches can't shard evenly over the mesh; they run
+    # through an unsharded eval step (replicated state works as-is).
+    eval_step_fallback = (
+        _make_steps(params, mesh=None)[1] if mesh is not None else eval_step
+    )
 
     key = jax.random.PRNGKey(params.random_seed)
     history: T.List[T.Dict[str, float]] = []
@@ -280,8 +292,6 @@ def fit(
         train_rows = []
         for batch in train_loader:
             if mesh is not None:
-                from ..parallel import shard_batch
-
                 batch = shard_batch(batch, mesh)
             key, subkey = jax.random.split(key)
             state, logs = train_step(state, batch, subkey)
@@ -289,11 +299,13 @@ def fit(
 
         val_rows = []
         for batch in val_loader:
-            if mesh is not None:
-                from ..parallel import shard_batch
-
+            if mesh is not None and batch.num_samples % params.devices == 0:
                 batch = shard_batch(batch, mesh)
-            val_rows.append((batch.num_samples, eval_step(state, batch)))
+                val_rows.append((batch.num_samples, eval_step(state, batch)))
+            else:
+                val_rows.append(
+                    (batch.num_samples, eval_step_fallback(state, batch))
+                )
 
         train_metrics = _mean_metrics(train_rows)
         val_metrics = _mean_metrics(val_rows)

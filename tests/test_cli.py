@@ -18,19 +18,22 @@ def make_project(tmp_path: Path, num_regions=3) -> Path:
         region_dir = project / "time_series_vars" / f"{i:06d}"
         region_dir.mkdir(parents=True)
         x = (rng.random((6, 64, 64, 2)) * 10000).astype("int16")
+        offset = 100.0 * i  # distinct geographies per region
         np.savez(
             region_dir / "scene.npz",
             x=x,
-            bounds=np.asarray([0.0, 0.0, 64.0, 64.0]),
+            bounds=np.asarray(
+                [offset, offset, offset + 64.0, offset + 64.0]
+            ),
             cell_res=np.asarray(1.0),
         )
+        def ring(coords):
+            return [[x + offset, y + offset] for x, y in coords]
+
         polygons = [
+            [ring([[5, 5], [25, 5], [25, 25], [5, 25], [5, 5]]), 1],
             [
-                [[5, 5], [25, 5], [25, 25], [5, 25], [5, 5]],
-                1,
-            ],
-            [
-                [[35, 30], [60, 30], [60, 55], [35, 55], [35, 30]],
+                ring([[35, 30], [60, 30], [60, 55], [35, 55], [35, 30]]),
                 1,
             ],
         ]
