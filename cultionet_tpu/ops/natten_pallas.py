@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from einops import rearrange
 
-from .natten import _clamped_shift, neighborhood_attention_2d
+from .natten import neighborhood_attention_2d
 
 Array = jax.Array
 

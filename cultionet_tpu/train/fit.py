@@ -177,11 +177,10 @@ def fit(
 
     model = build_model(params)
 
-    finetune_mask = None
-    if pretrained_state is not None and params.finetune != "all":
-        finetune_mask = None  # built after state init (needs param tree)
-
-    tx = build_optimizer(  # placeholder; rebuilt below once mask known
+    # A throwaway optimizer initializes the state; the real one (with the
+    # schedule and any transfer-freeze mask) is swapped in below once the
+    # parameter tree exists.
+    tx = build_optimizer(
         optimizer=params.optimizer, learning_rate=params.learning_rate
     )
 
