@@ -45,6 +45,7 @@ class CultionetParams:
     batchnorm_first: bool = False
     use_latlon: bool = False
     temporal_encoder: str = "conv"
+    remat: bool = False
 
     # Optimization
     optimizer: str = "AdamW"
@@ -108,6 +109,7 @@ class CultionetParams:
             batchnorm_first=self.batchnorm_first,
             use_latlon=self.use_latlon,
             temporal_encoder=self.temporal_encoder,
+            remat=self.remat,
         )
 
     @property

@@ -284,6 +284,54 @@ class Batch:
         )
 
 
+def plot_batch(
+    batch: Batch,
+    sample: int = 0,
+    out_path: T.Optional[T.Union[str, Path]] = None,
+):
+    """Quick-look figure: temporal-mean composite, labels, boundary
+    distances (reference Data.plot, data/data.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(batch.x[sample])  # (T, H, W, C)
+    composite = x.mean(axis=0)
+    composite = composite[..., : min(3, composite.shape[-1])]
+    composite = (composite - composite.min()) / max(
+        float(composite.max() - composite.min()), 1e-9
+    )
+
+    num_panels = 1 + (batch.y is not None) + (batch.bdist is not None)
+    fig, axes = plt.subplots(1, num_panels, figsize=(4 * num_panels, 4))
+    axes = np.atleast_1d(axes)
+    axes[0].imshow(composite.squeeze(), interpolation="nearest")
+    axes[0].set_title("temporal mean")
+    panel = 1
+    if batch.y is not None:
+        axes[panel].imshow(
+            np.asarray(batch.y[sample]), interpolation="nearest", cmap="viridis"
+        )
+        axes[panel].set_title("labels")
+        panel += 1
+    if batch.bdist is not None:
+        axes[panel].imshow(
+            np.asarray(batch.bdist[sample]),
+            interpolation="nearest",
+            cmap="magma",
+        )
+        axes[panel].set_title("boundary distance")
+    for ax in axes:
+        ax.set_axis_off()
+    fig.tight_layout()
+    if out_path is not None:
+        fig.savefig(out_path, dpi=120)
+        plt.close(fig)
+        return Path(out_path)
+    return fig
+
+
 def collate(batches: T.Sequence[Batch]) -> Batch:
     """Concatenate per-field along the batch axis (reference
     data/utils.py:20-68)."""

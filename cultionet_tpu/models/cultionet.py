@@ -31,6 +31,7 @@ class CultioNet(nn.Module):
     batchnorm_first: bool = False
     use_latlon: bool = False
     temporal_encoder: str = "conv"
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -59,6 +60,7 @@ class CultioNet(nn.Module):
             mask_activation=True,
             use_latlon=self.use_latlon,
             temporal_encoder=self.temporal_encoder,
+            remat=self.remat,
             name="mask_model",
         )(batch.x, latlon_coords=latlon_coords, training=training)
 

@@ -41,6 +41,10 @@ class TowerUNet(nn.Module):
     # 'conv' = PreTimeReduction 3-D conv pyramid (reference behavior);
     # 'transformer' = restored TemporalTransformer option.
     temporal_encoder: str = "conv"
+    # Rematerialize encoder/decoder/fusion activations in the backward pass
+    # (jax.checkpoint): ~2x activation-memory reduction for larger batches /
+    # hidden widths at the cost of recompute.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -74,7 +78,15 @@ class TowerUNet(nn.Module):
                 name="pre_unet",
             )(x, training)
 
-        encoded = TowerUNetEncoder(
+        encoder_cls = TowerUNetEncoder
+        decoder_cls = TowerUNetDecoder
+        fusion_cls = TowerUNetFusion
+        if self.remat:
+            encoder_cls = nn.remat(TowerUNetEncoder, static_argnums=(2,))
+            decoder_cls = nn.remat(TowerUNetDecoder, static_argnums=(2,))
+            fusion_cls = nn.remat(TowerUNetFusion, static_argnums=(4,))
+
+        encoded = encoder_cls(
             channels=channels,
             dilations=self.dilations,
             activation_type=self.activation_type,
@@ -86,7 +98,7 @@ class TowerUNet(nn.Module):
             name="encoder",
         )(embeddings, training)
 
-        decoded = TowerUNetDecoder(
+        decoded = decoder_cls(
             up_channels=up_channels,
             dilations=self.dilations,
             activation_type=self.activation_type,
@@ -97,7 +109,7 @@ class TowerUNet(nn.Module):
             name="decoder",
         )(encoded, training)
 
-        towers_fused = TowerUNetFusion(
+        towers_fused = fusion_cls(
             channels=channels,
             up_channels=up_channels,
             dilations=self.dilations,
@@ -108,12 +120,7 @@ class TowerUNet(nn.Module):
             batchnorm_first=self.batchnorm_first,
             use_latlon=self.use_latlon,
             name="tower_fusion",
-        )(
-            encoded=encoded,
-            decoded=decoded,
-            latlon_coords=latlon_coords,
-            training=training,
-        )
+        )(encoded, decoded, latlon_coords, training)
 
         size_a = towers_fused["x_tower_a"].shape[1:3]
         out_a = TowerUNetFinal(

@@ -163,12 +163,21 @@ def fit(
     )
     train_ds.augment_prob = params.augment_prob
 
+    train_sharding = None
+    if params.devices > 1:
+        from ..parallel import batch_sharding, create_mesh
+
+        # Device placement happens inside the loader's prefetch thread so
+        # host->HBM transfers overlap the previous step's compute.
+        train_sharding = batch_sharding(create_mesh(params.devices))
+
     train_loader = ChipLoader(
         train_ds,
         batch_size=params.batch_size,
         shuffle=True,
         drop_last=True,
         num_workers=params.load_batch_workers,
+        sharding=train_sharding,
     )
     val_loader = ChipLoader(
         val_ds, batch_size=params.batch_size, shuffle=False
@@ -290,8 +299,7 @@ def fit(
     for epoch in range(start_epoch, params.epochs):
         train_rows = []
         for batch in train_loader:
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
+            # (already mesh-sharded by the loader when devices > 1)
             key, subkey = jax.random.split(key)
             state, logs = train_step(state, batch, subkey)
             train_rows.append((batch.num_samples, logs))
