@@ -90,6 +90,7 @@ class ScenePredictor:
         batch_size: int = 8,
         precision: str = "bf16",
         pallas_attention: T.Optional[bool] = None,
+        devices: int = 1,
     ):
         on_tpu = jax.devices()[0].platform == "tpu"
         if not on_tpu:
@@ -103,8 +104,31 @@ class ScenePredictor:
 
             set_pallas_natten(True)
         self.state = state
+        self.devices = devices
+        if devices > 1:
+            # Windows shard over the data mesh; partial batches are padded
+            # by repeating the last window (duplicates blend harmlessly —
+            # identical predictions at identical offsets renormalize out).
+            from .parallel import (
+                create_mesh,
+                make_sharded_predict_step,
+                replicate_state,
+                shard_batch,
+            )
+
+            assert batch_size % devices == 0, (
+                f"batch_size {batch_size} must divide over {devices} devices"
+            )
+            mesh = create_mesh(num_devices=devices)
+            self.state = replicate_state(state, mesh)
+            self._shard = lambda b: shard_batch(b, mesh)
+            self.predict_step = make_sharded_predict_step(
+                mesh, precision=precision
+            )
+        else:
+            self._shard = None
+            self.predict_step = make_predict_step(precision=precision)
         self.batch_size = batch_size
-        self.predict_step = make_predict_step(precision=precision)
 
     def predict_windows(
         self, dataset: ChipDataset
@@ -140,11 +164,27 @@ class ScenePredictor:
 
         loader = ChipLoader(dataset, batch_size=self.batch_size)
         for batch in loader:
+            real_count = batch.num_samples
+            if self._shard is not None:
+                remainder = batch.num_samples % self.devices
+                if remainder:
+                    # Pad to a shardable size by repeating the last window;
+                    # padded entries are excluded from accumulation below
+                    # (their duplicate taper weight would skew the blend
+                    # wherever windows overlap).
+                    pad_count = self.devices - remainder
+                    batch = jax.tree_util.tree_map(
+                        lambda leaf: jnp.concatenate(
+                            [leaf] + [leaf[-1:]] * pad_count, axis=0
+                        ),
+                        batch,
+                    )
+                batch = self._shard(batch)
             outputs = self.predict_step(self.state, batch)
             preds = jnp.concatenate(
                 [outputs[name] for name in BAND_NAMES], axis=-1
             )  # (B, S, S, 3)
-            for i in range(preds.shape[0]):
+            for i in range(real_count):
                 # window top-left in padded scene coords
                 row0 = jnp.asarray(batch.window_row_off[i], dtype=jnp.int32)
                 col0 = jnp.asarray(batch.window_col_off[i], dtype=jnp.int32)
