@@ -12,11 +12,10 @@ nearest (i.e. the same exact pixel permutation).
 """
 
 import typing as T
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 Array = jax.Array
 

@@ -4,7 +4,6 @@ Mirrors the reference's model.py:222-467 surface on top of the TPU-native
 training loop.
 """
 
-import json
 import typing as T
 from pathlib import Path
 
@@ -18,7 +17,7 @@ from .data.synthetic import create_batch
 from .enums import InferenceNames
 from .models import CultioNet
 from .train.checkpoint import Checkpointer
-from .train.fit import FitResult, build_model, fit as _fit
+from .train.fit import FitResult, fit as _fit
 from .train.optim import build_optimizer
 from .train.step import (
     TrainState,

@@ -12,7 +12,6 @@ small (~12) so this is pure batched MXU work — no sequence parallelism
 needed, just batch/spatial sharding.
 """
 
-import typing as T
 
 import jax
 import jax.numpy as jnp

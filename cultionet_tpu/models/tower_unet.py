@@ -11,7 +11,7 @@ import typing as T
 import jax
 from flax import linen as nn
 
-from ..enums import AttentionTypes, InferenceNames, ResBlockTypes
+from ..enums import AttentionTypes, ResBlockTypes
 from .temporal import PreTimeReduction, TemporalTransformer
 from .unet_parts import (
     TowerUNetDecoder,

@@ -5,7 +5,6 @@ attention) and natten.NeighborhoodAttention2D as embedded at
 nn/modules/convolution.py:336-353.
 """
 
-import typing as T
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,6 @@ BatchNorm batch statistics become global automatically (the psum that
 replaces the reference's DDP all-reduce, SURVEY.md §2.3).
 """
 
-import typing as T
 
 import jax
 from jax.sharding import Mesh

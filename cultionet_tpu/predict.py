@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .data.batch import Batch
+
 from .data.constant import SCALE_FACTOR
 from .data.datasets import ChipDataset
 from .data.loader import ChipLoader
@@ -218,26 +218,29 @@ class ScenePredictor:
         out_path = Path(out_path)
         out_path.parent.mkdir(parents=True, exist_ok=True)
 
-        try:
-            import rasterio
+        from .utils.locks import file_lock
 
-            profile = dict(
-                driver="GTiff",
-                height=scene_h,
-                width=scene_w,
-                count=3,
-                dtype="uint16",
-                compress="lzw",
-            )
-            if reference_profile:
-                profile.update(reference_profile)
-            with rasterio.open(out_path, "w", **profile) as dst:
-                dst.write(packed)
-        except ImportError:
-            out_path = out_path.with_suffix(".npz")
-            np.savez_compressed(
-                out_path,
-                raster=packed,
-                band_names=np.asarray([str(b) for b in BAND_NAMES]),
-            )
+        with file_lock(out_path):
+            try:
+                import rasterio
+
+                profile = dict(
+                    driver="GTiff",
+                    height=scene_h,
+                    width=scene_w,
+                    count=3,
+                    dtype="uint16",
+                    compress="lzw",
+                )
+                if reference_profile:
+                    profile.update(reference_profile)
+                with rasterio.open(out_path, "w", **profile) as dst:
+                    dst.write(packed)
+            except ImportError:
+                out_path = out_path.with_suffix(".npz")
+                np.savez_compressed(
+                    out_path,
+                    raster=packed,
+                    band_names=np.asarray([str(b) for b in BAND_NAMES]),
+                )
         return out_path

@@ -322,7 +322,11 @@ def predict_image(args: argparse.Namespace, transfer: bool = False) -> None:
     state, _ = load_model(
         Path(ppaths.ckpt_file).parent / f"{stem}_store", which=args.which_ckpt
     )
-    predictor = ScenePredictor(state, batch_size=args.predict_batch_size)
+    predictor = ScenePredictor(
+        state,
+        batch_size=args.predict_batch_size,
+        devices=args.predict_devices,
+    )
     out_path = args.out_path or (
         ppaths.predict_path
         / f"{args.region or 'scene'}_{args.start_date}_{args.end_date}.tif"

@@ -1,7 +1,6 @@
 """Magnitude pruning (reference's optional Lightning ModelPruning callback,
 callbacks.py:261-269: L1-unstructured)."""
 
-import typing as T
 
 import jax
 import jax.numpy as jnp

@@ -8,13 +8,13 @@ loss, grad, optimizer update, BN-stat update) compiled by XLA, and an
 """
 
 import typing as T
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import core
-from flax import struct
+
 from flax.training import train_state
 
 from ..data.batch import Batch
