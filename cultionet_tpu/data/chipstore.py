@@ -77,14 +77,17 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_int,
         ctypes.c_int,
     ]
-    lib.cs_next_batch.restype = ctypes.c_int64
-    lib.cs_next_batch.argtypes = [
+    lib.cs_next_slot.restype = ctypes.c_int64
+    lib.cs_next_slot.argtypes = [
         ctypes.c_void_p,
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.cs_slot_ptrs.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.cs_release_slot.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.cs_prefetch_stop.argtypes = [ctypes.c_void_p]
     lib.cs_close.argtypes = [ctypes.c_void_p]
 
@@ -227,9 +230,15 @@ class ChipStore:
         num_threads: int = 2,
         max_queue: int = 4,
         num_batches: T.Optional[int] = None,
+        copy: bool = True,
     ) -> T.Iterator[Batch]:
         """Shuffled, endlessly-reshuffling prefetched batches assembled by
-        the native worker threads."""
+        the native worker threads into a zero-copy slot ring.
+
+        With ``copy=False`` the yielded Batch arrays alias the native slot
+        memory and are only valid until the next iteration (consume them —
+        e.g. ``jax.device_put`` — within the loop body). ``copy=True``
+        (default) detaches them."""
         if num_batches is None:
             num_batches = max(1, self.num_chips // batch_size)
         rc = self.lib.cs_prefetch_start(
@@ -237,19 +246,63 @@ class ChipStore:
         )
         if rc != 0:
             raise RuntimeError("prefetch already running")
+
+        hw = self.h * self.w
+        x_shape = (batch_size, self.t, self.h, self.w, self.c)
         try:
             for _ in range(num_batches):
-                x, y, bdist, meta = self._alloc(batch_size)
-                n = self.lib.cs_next_batch(
-                    self.handle,
-                    self._ptr(x, ctypes.c_float),
-                    self._ptr(y, ctypes.c_int32),
-                    self._ptr(bdist, ctypes.c_float),
-                    self._ptr(meta, ctypes.c_float),
+                count = ctypes.c_int64(0)
+                slot = self.lib.cs_next_slot(
+                    self.handle, ctypes.byref(count)
                 )
-                if n <= 0:
+                if slot < 0:
                     break
-                yield self._to_batch(x, y, bdist, meta, int(n))
+                ptrs = (ctypes.c_void_p * 4)()
+                self.lib.cs_slot_ptrs(self.handle, slot, ptrs)
+
+                def view(ptr, dtype, shape):
+                    if not ptr:
+                        return None
+                    size = int(np.prod(shape))
+                    ctype = (
+                        ctypes.c_float
+                        if dtype == np.float32
+                        else ctypes.c_int32
+                    )
+                    buf = ctypes.cast(ptr, ctypes.POINTER(ctype * size))
+                    arr = np.frombuffer(
+                        buf.contents, dtype=dtype
+                    ).reshape(shape)
+                    return arr
+
+                n = int(count.value)
+                x = view(ptrs[0], np.float32, x_shape)[:n]
+                y = (
+                    view(ptrs[1], np.int32, (batch_size, self.h, self.w))
+                    if self.has_labels
+                    else None
+                )
+                bdist = (
+                    view(ptrs[2], np.float32, (batch_size, self.h, self.w))
+                    if self.has_labels
+                    else None
+                )
+                meta = view(ptrs[3], np.float32, (batch_size, _META_FLOATS))
+                if copy:
+                    x = np.array(x)
+                    y = None if y is None else np.array(y[:n])
+                    bdist = None if bdist is None else np.array(bdist[:n])
+                    meta = np.array(meta)
+                try:
+                    yield self._to_batch(
+                        x,
+                        None if y is None else y[:n],
+                        None if bdist is None else bdist[:n],
+                        meta,
+                        n,
+                    )
+                finally:
+                    self.lib.cs_release_slot(self.handle, slot)
         finally:
             self.lib.cs_prefetch_stop(self.handle)
 

@@ -62,8 +62,9 @@ struct Store {
   size_t bdist_bytes = 0;
   size_t record_bytes = 0;
 
-  // Prefetch pipeline state
-  struct Buffers {
+  // Prefetch pipeline state: a ring of preallocated slots. Workers fill
+  // free slots in place; the consumer maps them zero-copy and releases.
+  struct Slot {
     std::vector<float> x;
     std::vector<int32_t> y;
     std::vector<float> bdist;
@@ -71,7 +72,9 @@ struct Store {
     int64_t count = 0;
   };
   std::vector<std::thread> workers;
-  std::deque<Buffers> ready;
+  std::vector<Slot> slots;
+  std::deque<int> ready;   // filled slot ids, FIFO
+  std::deque<int> free_q;  // empty slot ids
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
   std::atomic<bool> stop{false};
@@ -79,7 +82,6 @@ struct Store {
   size_t cursor = 0;
   std::mutex cursor_mu;
   int64_t batch_size = 0;
-  size_t max_queue = 4;
   bool running = false;
 
   const uint8_t* record(uint64_t index) const {
@@ -107,6 +109,18 @@ void worker_loop(Store* s, uint64_t seed) {
   const size_t hw = size_t(s->header.h) * s->header.w;
 
   while (!s->stop.load()) {
+    // Acquire a free slot.
+    int slot_id = -1;
+    {
+      std::unique_lock<std::mutex> lock(s->mu);
+      s->cv_space.wait(lock, [s] {
+        return s->stop.load() || !s->free_q.empty();
+      });
+      if (s->stop.load()) return;
+      slot_id = s->free_q.front();
+      s->free_q.pop_front();
+    }
+
     // Claim a batch worth of indices.
     std::vector<uint64_t> indices;
     {
@@ -121,27 +135,18 @@ void worker_loop(Store* s, uint64_t seed) {
       }
     }
 
-    Store::Buffers buf;
-    buf.count = int64_t(indices.size());
-    buf.x.resize(indices.size() * x_elems);
-    buf.meta.resize(indices.size() * kMetaFloats);
-    if (s->header.has_labels) {
-      buf.y.resize(indices.size() * hw);
-      buf.bdist.resize(indices.size() * hw);
-    }
+    Store::Slot& slot = s->slots[slot_id];
+    slot.count = int64_t(indices.size());
     for (size_t i = 0; i < indices.size(); ++i) {
-      copy_chip(s, indices[i], buf.x.data() + i * x_elems,
-                s->header.has_labels ? buf.y.data() + i * hw : nullptr,
-                s->header.has_labels ? buf.bdist.data() + i * hw : nullptr,
-                buf.meta.data() + i * kMetaFloats);
+      copy_chip(s, indices[i], slot.x.data() + i * x_elems,
+                s->header.has_labels ? slot.y.data() + i * hw : nullptr,
+                s->header.has_labels ? slot.bdist.data() + i * hw : nullptr,
+                slot.meta.data() + i * kMetaFloats);
     }
 
     std::unique_lock<std::mutex> lock(s->mu);
-    s->cv_space.wait(lock, [s] {
-      return s->stop.load() || s->ready.size() < s->max_queue;
-    });
     if (s->stop.load()) return;
-    s->ready.push_back(std::move(buf));
+    s->ready.push_back(slot_id);
     s->cv_ready.notify_one();
   }
 }
@@ -214,19 +219,36 @@ int cs_read_batch(void* handle, const int64_t* indices, int64_t n,
   return 0;
 }
 
-// Background prefetch pipeline: shuffled epochs, double-buffered.
+// Background prefetch pipeline: shuffled epochs, zero-copy slot ring.
 int cs_prefetch_start(void* handle, int64_t batch_size, uint64_t seed,
-                      int num_threads, int max_queue) {
+                      int num_threads, int num_slots) {
   auto* s = static_cast<Store*>(handle);
   if (s->running || batch_size <= 0) return -1;
   s->batch_size = batch_size;
-  s->max_queue = size_t(max_queue > 0 ? max_queue : 4);
   s->order.resize(s->header.num_chips);
   for (uint64_t i = 0; i < s->header.num_chips; ++i) s->order[i] = i;
   std::mt19937_64 rng(seed);
   std::shuffle(s->order.begin(), s->order.end(), rng);
   s->cursor = 0;
   s->stop.store(false);
+
+  const size_t x_elems = s->x_bytes / sizeof(float);
+  const size_t hw = size_t(s->header.h) * s->header.w;
+  int slots = num_slots > 0 ? num_slots : 4;
+  s->slots.assign(size_t(slots), Store::Slot{});
+  s->ready.clear();
+  s->free_q.clear();
+  for (int i = 0; i < slots; ++i) {
+    auto& slot = s->slots[i];
+    slot.x.resize(size_t(batch_size) * x_elems);
+    slot.meta.resize(size_t(batch_size) * kMetaFloats);
+    if (s->header.has_labels) {
+      slot.y.resize(size_t(batch_size) * hw);
+      slot.bdist.resize(size_t(batch_size) * hw);
+    }
+    s->free_q.push_back(i);
+  }
+
   int threads = num_threads > 0 ? num_threads : 2;
   for (int t = 0; t < threads; ++t) {
     s->workers.emplace_back(worker_loop, s, seed + 1 + uint64_t(t));
@@ -235,27 +257,33 @@ int cs_prefetch_start(void* handle, int64_t batch_size, uint64_t seed,
   return 0;
 }
 
-// Blocking: fills caller buffers with the next prefetched batch.
-int64_t cs_next_batch(void* handle, float* x_out, int32_t* y_out,
-                      float* bdist_out, float* meta_out) {
+// Blocking: returns the next filled slot id (zero-copy — map its pointers
+// with cs_slot_ptrs, release with cs_release_slot when consumed).
+int64_t cs_next_slot(void* handle, int64_t* count_out) {
   auto* s = static_cast<Store*>(handle);
-  Store::Buffers buf;
-  {
-    std::unique_lock<std::mutex> lock(s->mu);
-    s->cv_ready.wait(lock, [s] { return s->stop.load() || !s->ready.empty(); });
-    if (s->ready.empty()) return -1;
-    buf = std::move(s->ready.front());
-    s->ready.pop_front();
-    s->cv_space.notify_one();
-  }
-  std::memcpy(x_out, buf.x.data(), buf.x.size() * sizeof(float));
-  if (y_out && !buf.y.empty())
-    std::memcpy(y_out, buf.y.data(), buf.y.size() * sizeof(int32_t));
-  if (bdist_out && !buf.bdist.empty())
-    std::memcpy(bdist_out, buf.bdist.data(), buf.bdist.size() * sizeof(float));
-  if (meta_out)
-    std::memcpy(meta_out, buf.meta.data(), buf.meta.size() * sizeof(float));
-  return buf.count;
+  std::unique_lock<std::mutex> lock(s->mu);
+  s->cv_ready.wait(lock, [s] { return s->stop.load() || !s->ready.empty(); });
+  if (s->ready.empty()) return -1;
+  int slot_id = s->ready.front();
+  s->ready.pop_front();
+  if (count_out) *count_out = s->slots[slot_id].count;
+  return slot_id;
+}
+
+void cs_slot_ptrs(void* handle, int64_t slot_id, void** ptrs_out) {
+  auto* s = static_cast<Store*>(handle);
+  auto& slot = s->slots[size_t(slot_id)];
+  ptrs_out[0] = slot.x.data();
+  ptrs_out[1] = slot.y.empty() ? nullptr : slot.y.data();
+  ptrs_out[2] = slot.bdist.empty() ? nullptr : slot.bdist.data();
+  ptrs_out[3] = slot.meta.data();
+}
+
+void cs_release_slot(void* handle, int64_t slot_id) {
+  auto* s = static_cast<Store*>(handle);
+  std::lock_guard<std::mutex> lock(s->mu);
+  s->free_q.push_back(int(slot_id));
+  s->cv_space.notify_one();
 }
 
 void cs_prefetch_stop(void* handle) {
@@ -267,6 +295,8 @@ void cs_prefetch_stop(void* handle) {
   for (auto& t : s->workers) t.join();
   s->workers.clear();
   s->ready.clear();
+  s->free_q.clear();
+  s->slots.clear();
   s->running = false;
 }
 
