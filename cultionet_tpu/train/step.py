@@ -113,16 +113,32 @@ def make_train_step(
     donate: bool = True,
     precision: str = "fp32",
     jit: bool = True,
+    device_augment: bool = False,
+    device_augment_noise: float = 0.0,
 ):
     """Build a jitted train step: (state, batch, rng) -> (state, logs).
 
     With ``precision='bf16'`` the forward/backward pass runs in bfloat16
     (params cast inside the grad so master params and grads stay fp32 —
     the TPU analogue of the reference's '16-mixed' AMP, model.py:86).
+
+    ``device_augment`` fuses per-sample random dihedral transforms (and
+    optional gaussian noise) into the compiled step — the jit-able
+    augmentation pipeline that replaces host-worker rot/flip augmenters.
     """
     compute_dtype = resolve_dtype(precision)
 
     def train_step(state: TrainState, batch: Batch, rng: Array):
+        if device_augment or device_augment_noise > 0:
+            from ..augment.device import augment_batch_on_device
+
+            rng, aug_rng = jax.random.split(rng)
+            batch = augment_batch_on_device(
+                batch,
+                aug_rng,
+                dihedral=device_augment,
+                noise_sigma=device_augment_noise,
+            )
         def loss_fn(params):
             run_params = cast_floating(params, compute_dtype)
             run_batch = batch.replace(x=batch.x.astype(compute_dtype))
