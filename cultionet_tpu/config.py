@@ -30,6 +30,10 @@ class CultionetParams:
     edge_class: int = 2
     class_counts: T.Any = None
     augment_prob: float = 0.0
+    # Fuse per-sample dihedral transforms (+ optional noise) into the
+    # compiled train step (augment/device.py) instead of host workers.
+    device_augment: bool = False
+    device_augment_noise: float = 0.0
 
     # Model
     in_channels: T.Optional[int] = None

@@ -25,6 +25,8 @@ def make_sharded_train_step(
     edge_class: int = 2,
     precision: str = "bf16",
     axis_name: str = "data",
+    device_augment: bool = False,
+    device_augment_noise: float = 0.0,
 ):
     """Jitted data-parallel train step: state replicated, batch sharded."""
     inner = make_train_step(
@@ -32,6 +34,8 @@ def make_sharded_train_step(
         edge_class=edge_class,
         precision=precision,
         jit=False,
+        device_augment=device_augment,
+        device_augment_noise=device_augment_noise,
     )
     repl = replicated(mesh)
     data = batch_sharding(mesh, axis_name)

@@ -240,6 +240,8 @@ def _build_params(
         precision=args.precision,
         devices=args.devices,
         augment_prob=args.augment_prob,
+        device_augment=args.device_augment,
+        device_augment_noise=args.device_augment_noise,
         random_seed=args.random_seed,
         reset_model=args.reset_model,
         skip_train=args.skip_train,

@@ -85,6 +85,8 @@ def _make_steps(params: CultionetParams, mesh=None, frozen_mask=None):
                 loss_name=params.loss_name,
                 edge_class=params.edge_class,
                 precision=precision,
+                device_augment=params.device_augment,
+                device_augment_noise=params.device_augment_noise,
             ),
             make_sharded_eval_step(
                 mesh,
@@ -99,6 +101,8 @@ def _make_steps(params: CultionetParams, mesh=None, frozen_mask=None):
             edge_class=params.edge_class,
             precision=precision,
             donate=False,
+            device_augment=params.device_augment,
+            device_augment_noise=params.device_augment_noise,
         ),
         make_eval_step(
             loss_name=params.loss_name,
