@@ -93,7 +93,7 @@ class PreTimeReduction(nn.Module):
             activation_type=self.activation_type,
             name="conv5",
         )(x, training)
-        return nn.LayerNorm()(x3 + x5)
+        return nn.LayerNorm(epsilon=1e-5)(x3 + x5)
 
 
 def sinusoid_encoding_table(positions: int, dim: int) -> np.ndarray:
@@ -137,14 +137,14 @@ class TemporalTransformer(nn.Module):
         tokens = tokens + pos[None]
 
         for _ in range(self.num_layers):
-            attn_in = nn.LayerNorm()(tokens)
+            attn_in = nn.LayerNorm(epsilon=1e-5)(tokens)
             attn = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads,
                 dropout_rate=self.dropout,
                 deterministic=not training,
             )(attn_in, attn_in)
             tokens = tokens + attn
-            mlp_in = nn.LayerNorm()(tokens)
+            mlp_in = nn.LayerNorm(epsilon=1e-5)(tokens)
             mlp = nn.Dense(self.d_model * 2)(mlp_in)
             mlp = get_activation(self.activation_type)(mlp)
             mlp = nn.Dense(self.d_model)(mlp)
@@ -161,7 +161,7 @@ class TemporalTransformer(nn.Module):
             num_heads=self.num_heads,
             dropout_rate=self.dropout,
             deterministic=not training,
-        )(nn.LayerNorm()(query), nn.LayerNorm()(tokens))
+        )(nn.LayerNorm(epsilon=1e-5)(query), nn.LayerNorm(epsilon=1e-5)(tokens))
         pooled = jnp.squeeze(pooled, axis=1)
 
         out = nn.Dense(
@@ -172,4 +172,4 @@ class TemporalTransformer(nn.Module):
         out = rearrange(
             out, "(b h w) c -> b h w c", b=batch, h=height, w=width
         )
-        return nn.LayerNorm()(out)
+        return nn.LayerNorm(epsilon=1e-5)(out)

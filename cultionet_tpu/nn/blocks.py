@@ -77,6 +77,7 @@ class ConvTranspose2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, size: T.Tuple[int, int]) -> Array:
+        in_h, in_w = x.shape[1], x.shape[2]
         x = nn.ConvTranspose(
             self.out_channels,
             (self.kernel_size, self.kernel_size),
@@ -85,9 +86,13 @@ class ConvTranspose2d(nn.Module):
             kernel_init=kaiming_normal,
             bias_init=normal_bias,
         )(x)
-        if self.padding:
-            p = self.padding
-            x = x[:, p:-p, p:-p, :]
+        # flax VALID length is in*s + max(k - s, 0); torch semantics are
+        # (in-1)*s + k - 2p — crop p from the start and p (+ the s-k grid
+        # surplus when stride exceeds the kernel) from the end.
+        p = self.padding
+        target_h = (in_h - 1) * self.stride + self.kernel_size - 2 * p
+        target_w = (in_w - 1) * self.stride + self.kernel_size - 2 * p
+        x = x[:, p : p + target_h, p : p + target_w, :]
         return resize_bilinear_align_corners(x, size)
 
 
@@ -264,7 +269,7 @@ class ResidualAConv(nn.Module):
         if self.attention_weights == AttentionTypes.NATTEN:
             # LayerNorm sandwich around neighborhood attention, added to the
             # residual sum (reference convolution.py:336-353, 388-391).
-            attention = nn.LayerNorm()(skip)
+            attention = nn.LayerNorm(epsilon=1e-5)(skip)
             attention = NeighborhoodAttention2D(
                 num_heads=self.natten_num_heads,
                 kernel_size=self.natten_kernel_size,
@@ -272,7 +277,7 @@ class ResidualAConv(nn.Module):
                 attn_drop=self.natten_attn_drop,
                 proj_drop=self.natten_proj_drop,
             )(attention, training)
-            attention = nn.LayerNorm()(attention)
+            attention = nn.LayerNorm(epsilon=1e-5)(attention)
             out = out + attention
         elif self.attention_weights == AttentionTypes.SPATIAL_CHANNEL:
             out = out * SpatialChannelAttention(

@@ -19,7 +19,13 @@ def pallas_natten_enabled() -> bool:
     env = os.environ.get("CULTIONET_TPU_PALLAS_NATTEN")
     if env is not None:
         return env not in ("0", "false", "False")
-    # Default off: the Mosaic kernels are a measured opt-in (several minutes
-    # of compile across the model's NA configs); enable with
-    # CULTIONET_TPU_PALLAS_NATTEN=1 or set_pallas_natten(True).
-    return False
+    # Default: on for TPU (the banded Mosaic kernels beat XLA 2-10x on both
+    # the forward and backward passes across every model NA config measured
+    # in BASELINE.md); off elsewhere (CPU fallback is the XLA path — Mosaic
+    # kernels don't run on the host outside interpret mode).
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False

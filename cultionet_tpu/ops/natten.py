@@ -14,11 +14,11 @@ Two implementations:
 - ``neighborhood_attention_2d``: the default XLA path. Clamped windows are
   monotone index maps with plateaus at the borders, so each of the k*k shifted
   key/value tensors is built from **static slices + concat** — zero gathers,
-  fully fusible elementwise math on the VPU. Dilation is handled by a coset
-  reshape (d*d independent dilation-1 problems batched together), which is
-  exact whenever H and W are multiples of d.
-- ``neighborhood_attention_2d_ref``: a gather-based oracle used for testing
-  and as the fallback for ragged coset shapes (H or W not divisible by d).
+  fully fusible elementwise math on the VPU. Dilation is folded directly into
+  the slice offsets (a shift of ``d`` image rows/cols per window step), which
+  is exact for ANY H, W — no coset reshape, no ragged-shape fallback, and no
+  layout-churning transposes on the hot path.
+- ``neighborhood_attention_2d_ref``: a gather-based oracle used for testing.
 
 Both take ``q, k, v`` shaped ``(B, H, W, num_heads, head_dim)`` and return the
 same shape, matching natten's functional na2d signature.
@@ -29,7 +29,6 @@ import typing as T
 import jax
 import jax.numpy as jnp
 import numpy as np
-from einops import rearrange
 
 Array = jax.Array
 
@@ -95,12 +94,23 @@ def neighborhood_attention_2d_ref(
     return jnp.einsum("bhwnij,bhiwjnd->bhwnd", weights, v_nbr)
 
 
-def _clamped_shift(x: Array, kernel_size: int, j: int, axis: int) -> Array:
-    """``out[p] = x[clip(p - k//2, 0, L-k) + j]`` along ``axis`` using only
-    static slices and concatenation (monotone index map with border
-    plateaus)."""
+def _clamped_shift(
+    x: Array, kernel_size: int, j: int, axis: int, dilation: int = 1
+) -> Array:
+    """Dilated clamped-window shift along one image axis using only static
+    slices and concatenation.
+
+    For a query at position ``p`` with coset position ``pos = p // d``:
+    ``out[p] = x[coset + d * (clip(pos - k//2, 0, len - k) + j)]``. The index
+    map is monotone with plateaus of ``d * k//2`` positions at each border
+    (all border queries in the same window step read the same key), so it is
+    a concat of: the border slice tiled ``k//2`` times, the shifted interior,
+    and the far-border slice tiled ``k//2`` times — exact for any length,
+    ragged cosets included.
+    """
     length = x.shape[axis]
     half = kernel_size // 2
+    d = dilation
 
     def sl(start: int, stop: int) -> Array:
         index = [slice(None)] * x.ndim
@@ -108,46 +118,12 @@ def _clamped_shift(x: Array, kernel_size: int, j: int, axis: int) -> Array:
         return x[tuple(index)]
 
     if half == 0:
-        return sl(j, j + length)
+        return x
 
-    middle = sl(j, j + length - 2 * half)
-    left = [sl(j, j + 1)] * half
-    right = [sl(length - kernel_size + j, length - kernel_size + j + 1)] * half
-    return jnp.concatenate(left + [middle] + right, axis=axis)
-
-
-def _na2d_dense(
-    q: Array,
-    k: Array,
-    v: Array,
-    kernel_size: int,
-    weights_fn: T.Optional[T.Callable[[Array], Array]] = None,
-) -> Array:
-    """Dilation-1 core: k*k shifted elementwise dot products, softmax, and a
-    weighted sum — no gathers, VPU-only beyond the caller's projections."""
-    head_dim = q.shape[-1]
-    scale = jnp.asarray(head_dim**-0.5, dtype=q.dtype)
-    qs = q * scale
-
-    logits = []
-    shifted_v = []
-    for jh in range(kernel_size):
-        k_h = _clamped_shift(k, kernel_size, jh, axis=1)
-        v_h = _clamped_shift(v, kernel_size, jh, axis=1)
-        for jw in range(kernel_size):
-            k_hw = _clamped_shift(k_h, kernel_size, jw, axis=2)
-            logits.append(jnp.sum(qs * k_hw, axis=-1))
-            shifted_v.append(_clamped_shift(v_h, kernel_size, jw, axis=2))
-
-    logits = jnp.stack(logits, axis=-1)  # (B, H, W, N, k*k)
-    weights = jax.nn.softmax(logits, axis=-1)
-    if weights_fn is not None:
-        weights = weights_fn(weights)
-
-    out = jnp.zeros_like(v)
-    for idx, v_hw in enumerate(shifted_v):
-        out = out + weights[..., idx, None] * v_hw
-    return out
+    middle = sl(d * j, d * j + length - 2 * d * half)
+    first = [sl(d * j, d * j + d)] * half
+    last = [sl(length + d * (j - kernel_size), length + d * (j - kernel_size) + d)] * half
+    return jnp.concatenate(first + [middle] + last, axis=axis)
 
 
 def neighborhood_attention_2d(
@@ -166,35 +142,46 @@ def neighborhood_attention_2d(
     weights — used for attention dropout by the NeighborhoodAttention2D
     module. Callers are expected to jit the enclosing computation.
     """
-    _, height, width, _, _ = q.shape
+    _, height, width, _, head_dim = q.shape
     if min(height, width) < kernel_size * dilation:
         raise ValueError(
             f"Spatial dims ({height}x{width}) must be >= "
             f"kernel_size*dilation ({kernel_size * dilation})."
         )
 
-    if dilation == 1:
-        return _na2d_dense(q, k, v, kernel_size, weights_fn=weights_fn)
+    if kernel_size == 1:
+        # A one-key window's softmax weight is identically 1: out == v.
+        if weights_fn is None:
+            return v
+        ones = jnp.ones(v.shape[:4] + (1,), dtype=v.dtype)
+        return weights_fn(ones)[..., 0:1] * v
 
-    if height % dilation == 0 and width % dilation == 0:
-        # Coset reshape: d*d independent dilation-1 problems.
-        pattern = "b (hc dh) (wc dw) n d -> (b dh dw) hc wc n d"
-        inverse = "(b dh dw) hc wc n d -> b (hc dh) (wc dw) n d"
-        sizes = dict(dh=dilation, dw=dilation)
-        out = _na2d_dense(
-            rearrange(q, pattern, **sizes),
-            rearrange(k, pattern, **sizes),
-            rearrange(v, pattern, **sizes),
-            kernel_size,
-            weights_fn=weights_fn,
-        )
-        return rearrange(out, inverse, **sizes)
+    scale = jnp.asarray(head_dim**-0.5, dtype=q.dtype)
+    qs = q * scale
 
-    # Ragged cosets (H or W not divisible by d): exact gather fallback.
-    return neighborhood_attention_2d_ref(
-        q, k, v, kernel_size=kernel_size, dilation=dilation,
-        weights_fn=weights_fn,
-    )
+    logits = []
+    shifted_v = []
+    for jh in range(kernel_size):
+        k_h = _clamped_shift(k, kernel_size, jh, axis=1, dilation=dilation)
+        v_h = _clamped_shift(v, kernel_size, jh, axis=1, dilation=dilation)
+        for jw in range(kernel_size):
+            k_hw = _clamped_shift(
+                k_h, kernel_size, jw, axis=2, dilation=dilation
+            )
+            logits.append(jnp.sum(qs * k_hw, axis=-1))
+            shifted_v.append(
+                _clamped_shift(v_h, kernel_size, jw, axis=2, dilation=dilation)
+            )
+
+    logits = jnp.stack(logits, axis=-1)  # (B, H, W, N, k*k)
+    weights = jax.nn.softmax(logits, axis=-1)
+    if weights_fn is not None:
+        weights = weights_fn(weights)
+
+    out = jnp.zeros_like(v)
+    for idx, v_hw in enumerate(shifted_v):
+        out = out + weights[..., idx, None] * v_hw
+    return out
 
 
 def na2d(

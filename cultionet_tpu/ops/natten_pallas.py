@@ -1,25 +1,35 @@
-"""Fused neighborhood-attention block as a Pallas TPU kernel.
+"""Neighborhood attention as Pallas TPU kernels.
 
-The flagship kernel of the build (SURVEY.md §2.2): the reference outsources
-dilated neighborhood attention to the NATTEN CUDA library wrapped in a
-LayerNorm sandwich (nn/modules/convolution.py:336-353); here the ENTIRE block
+The reference outsources dilated neighborhood attention to the NATTEN CUDA
+library (nn/modules/convolution.py:336-353); this module supplies the
+TPU-native equivalent: a row-banded Mosaic kernel family with matching
+forward AND backward passes (flash-style in-kernel softmax recompute — the
+training path stores nothing beyond the layer inputs q, k, v).
 
-    LayerNorm -> QKV projection -> k x k neighborhood attention
-              -> output projection -> LayerNorm
+Design (v2 — lane-packed, dilation-native, halo-DMA banded):
 
-runs as one Pallas program per (batch x dilation-coset) slice: x is read from
-HBM once, weights stream in, and the output is written once — no HBM round
-trips for q/k/v, attention weights, or intermediate activations. Matmuls hit
-the MXU in bf16 with fp32 accumulation; softmax statistics are fp32.
+- **Layout**: queries/keys/values are flattened to ``(pixels, lanes)`` where
+  lanes pack ``fold x heads x head_dim`` up to the 128-lane VPU width (small
+  channel counts fold multiple batch elements into lanes). Per-head logit
+  reductions and weight broadcasts are thin ``(px, L) @ (L, G)`` MXU matmuls
+  against a constant group mask — no per-head tiny-trailing-dim arrays.
+- **Dilation is native**: a window step is a roll of ``dilation`` image
+  rows/cols; NATTEN's clamped-window border behavior is a per-pixel 3-way
+  select between inward-shifted rolls (first ``k//2`` coset rows/cols, the
+  interior, the last ``k//2``). No coset reshape, no ragged-shape fallback,
+  no layout-churning transposes on the hot path.
+- **Row banding**: the grid tiles image rows; each program DMAs only its
+  key/value band (queries' rows plus a ``k//2 * dilation`` halo — the caller
+  zero-pads the halo so DMA offsets stay static) from HBM into VMEM. VMEM
+  use is bounded by the band size regardless of image height, so the kernels
+  cover arbitrarily large scenes.
+- **Backward**: the adjoint of each clamped shift is the sum of the inverse
+  rolls of the mask-gated cotangent. Each program emits its band's dk/dv
+  partials; bands overlap by the halo, and the caller overlap-adds them.
 
-Clamped-window (NATTEN) semantics are preserved exactly with the same
-slice+concat construction as the XLA path (ops/natten.py): border windows
-slide inward, every query attends to exactly k*k keys. Dilation is a coset
-reshape outside the kernel.
-
-Gradients: ``fused_na_block`` carries a custom VJP whose backward pass is the
-XLA autodiff of the numerically identical reference composition — the
-forward fusion never changes training semantics.
+``fused_na_block`` (bottom) is the older single-program fully fused
+LN->QKV->NA->proj->LN block kept for small-shape experiments; the banded
+core above is the production path.
 """
 
 import functools
@@ -27,6 +37,7 @@ import typing as T
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from einops import rearrange
 
 from .natten import neighborhood_attention_2d
@@ -37,7 +48,727 @@ LN_EPS = 1e-6
 
 
 # ---------------------------------------------------------------------------
-# Reference (XLA) composition — also the backward path.
+# Packing plan: lanes, bands, padding.
+# ---------------------------------------------------------------------------
+
+
+class _Plan(T.NamedTuple):
+    batch_groups: int
+    fold: int
+    lanes: int      # zero-padded to a 128 multiple (Mosaic DMA slices
+                    # require lane-tile-aligned minor dims)
+    raw_lanes: int  # fold * channels actually carrying data
+    groups: int
+    width_pad: int
+    rows_per_band: int
+    num_bands: int
+    height_pad: int
+    halo_rows: int
+
+    @property
+    def band_px(self) -> int:
+        return (self.rows_per_band + 2 * self.halo_rows) * self.width_pad
+
+    @property
+    def query_px(self) -> int:
+        return self.rows_per_band * self.width_pad
+
+    @property
+    def kv_px(self) -> int:
+        return (self.height_pad + 2 * self.halo_rows) * self.width_pad
+
+    @property
+    def accumulate_kv(self) -> bool:
+        """Backward dk/dv strategy: when the full (halo-padded) kv plane fits
+        comfortably in VMEM, accumulate it in the revisited output block
+        across the sequential band grid (zero at band 0) instead of emitting
+        per-band partials for a host-graph overlap-add."""
+        return 2 * self.kv_px * self.lanes * 4 <= 24 * 1024 * 1024
+
+
+def _make_plan(
+    batch: int,
+    height: int,
+    width: int,
+    num_heads: int,
+    head_dim: int,
+    kernel_size: int,
+    dilation: int,
+    target_band_px: int = 4096,
+) -> _Plan:
+    channels = num_heads * head_dim
+    width_pad = -(-width // 8) * 8
+    halo_rows = (kernel_size // 2) * dilation
+
+    fold = 1
+    while (
+        fold * 2 * channels <= 128
+        and fold * 2 <= batch
+        and batch % (fold * 2) == 0
+    ):
+        fold *= 2
+
+    rows = max(2, (target_band_px // width_pad) // 2 * 2)
+    rows = min(rows, -(-height // 2) * 2)
+    num_bands = -(-height // rows)
+    raw_lanes = fold * channels
+    return _Plan(
+        batch_groups=batch // fold,
+        fold=fold,
+        lanes=-(-raw_lanes // 128) * 128,
+        raw_lanes=raw_lanes,
+        groups=fold * num_heads,
+        width_pad=width_pad,
+        rows_per_band=rows,
+        num_bands=num_bands,
+        height_pad=num_bands * rows,
+        halo_rows=halo_rows,
+    )
+
+
+def _to_lanes(x: Array, plan: _Plan) -> Array:
+    """(B, H, W, N, D) -> (batch_groups, H, W8, lanes); lane = f*C + n*D + d,
+    zero-padded up to the 128-aligned lane count."""
+    b, h, w, n, d = x.shape
+    x = x.reshape(b, h, w, n * d)
+    if plan.width_pad != w:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, plan.width_pad - w), (0, 0)))
+    if plan.fold > 1:
+        x = x.reshape(plan.batch_groups, plan.fold, h, plan.width_pad, n * d)
+        x = jnp.moveaxis(x, 1, 3)
+        x = x.reshape(plan.batch_groups, h, plan.width_pad, plan.raw_lanes)
+    if plan.lanes != plan.raw_lanes:
+        x = jnp.pad(
+            x, ((0, 0), (0, 0), (0, 0), (0, plan.lanes - plan.raw_lanes))
+        )
+    return x
+
+
+def _from_lanes(
+    x: Array, plan: _Plan, batch: int, height: int, width: int,
+    num_heads: int, head_dim: int,
+) -> Array:
+    """Inverse of ``_to_lanes`` from (batch_groups, Hq, W8, lanes)."""
+    x = x[:, :height, :width, : plan.raw_lanes]
+    if plan.fold > 1:
+        channels = num_heads * head_dim
+        x = x.reshape(plan.batch_groups, height, width, plan.fold, channels)
+        x = jnp.moveaxis(x, 3, 1)
+    return x.reshape(batch, height, width, num_heads, head_dim)
+
+
+def _query_flat(x: Array, plan: _Plan) -> Array:
+    """Pad rows to height_pad and flatten pixels."""
+    h = x.shape[1]
+    if plan.height_pad != h:
+        x = jnp.pad(x, ((0, 0), (0, plan.height_pad - h), (0, 0), (0, 0)))
+    return x.reshape(x.shape[0], plan.height_pad * plan.width_pad, plan.lanes)
+
+
+def _kv_flat(x: Array, plan: _Plan) -> Array:
+    """Zero-pad the row halo top/bottom and flatten pixels."""
+    h = x.shape[1]
+    x = jnp.pad(
+        x,
+        (
+            (0, 0),
+            (plan.halo_rows, plan.height_pad - h + plan.halo_rows),
+            (0, 0),
+            (0, 0),
+        ),
+    )
+    return x.reshape(
+        x.shape[0],
+        (plan.height_pad + 2 * plan.halo_rows) * plan.width_pad,
+        plan.lanes,
+    )
+
+
+def _group_mask(plan: _Plan, head_dim: int) -> Array:
+    """(lanes, groups) membership mask; zero rows for lane padding so padded
+    lanes contribute nothing to logits and receive zero weights."""
+    lane_group = np.arange(plan.lanes) // head_dim
+    mask = np.equal.outer(lane_group, np.arange(plan.groups))
+    mask[plan.raw_lanes:] = False
+    return jnp.asarray(mask, dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Shared in-kernel shift machinery.
+# ---------------------------------------------------------------------------
+
+
+def _shift_ctx(plan: _Plan, kernel_size, dilation, height, width, t):
+    """Build the clamped-shift helpers for one program (band ``t``)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    half = kernel_size // 2
+    w8 = plan.width_pad
+    npx = plan.query_px
+    band_px = plan.band_px
+    hd = plan.halo_rows
+    lanes = plan.lanes
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (npx, lanes), 0)
+    r_loc = pix // w8
+    h_glob = r_loc + t * plan.rows_per_band
+    col = pix - r_loc * w8
+
+    def from_band(a, dr):
+        """Query-local view of the band shifted by ``dr`` image rows."""
+        s = (hd + dr) * w8
+        if s == 0:
+            return a[:npx]
+        return pltpu.roll(a, (-s) % band_px, 0)[:npx]
+
+    def row_clamped(a, jh):
+        out = from_band(a, dilation * (jh - half))
+        for mi in range(half):
+            out = jnp.where(
+                (h_glob >= mi * dilation) & (h_glob < (mi + 1) * dilation),
+                from_band(a, dilation * (jh - mi)),
+                out,
+            )
+            out = jnp.where(
+                (h_glob >= height - (mi + 1) * dilation)
+                & (h_glob < height - mi * dilation),
+                from_band(a, dilation * (jh + mi + 1 - kernel_size)),
+                out,
+            )
+        return out
+
+    def roll_q(a, dc):
+        if dc % npx == 0:
+            return a
+        return pltpu.roll(a, (-dc) % npx, 0)
+
+    def col_clamped(a, jw):
+        out = roll_q(a, dilation * (jw - half))
+        for mi in range(half):
+            out = jnp.where(
+                (col >= mi * dilation) & (col < (mi + 1) * dilation),
+                roll_q(a, dilation * (jw - mi)),
+                out,
+            )
+            out = jnp.where(
+                (col >= width - (mi + 1) * dilation)
+                & (col < width - mi * dilation),
+                roll_q(a, dilation * (jw + mi + 1 - kernel_size)),
+                out,
+            )
+        return out
+
+    # --- adjoints (backward only) ---
+
+    def to_band(bq, dr):
+        """Adjoint of ``from_band``: embed query-local rows, inverse roll."""
+        full = jnp.concatenate(
+            [bq, jnp.zeros((band_px - npx, lanes), bq.dtype)], axis=0
+        )
+        s = (hd + dr) * w8
+        if s == 0:
+            return full
+        return pltpu.roll(full, s % band_px, 0)
+
+    def row_adjoint(bq, jh):
+        first_any = h_glob < half * dilation
+        last_any = h_glob >= height - half * dilation
+        interior = jnp.logical_not(jnp.logical_or(first_any, last_any))
+        acc = to_band(
+            jnp.where(interior, bq, 0.0), dilation * (jh - half)
+        )
+        for mi in range(half):
+            m_first = (h_glob >= mi * dilation) & (
+                h_glob < (mi + 1) * dilation
+            )
+            m_last = (h_glob >= height - (mi + 1) * dilation) & (
+                h_glob < height - mi * dilation
+            )
+            acc = acc + to_band(
+                jnp.where(m_first, bq, 0.0), dilation * (jh - mi)
+            )
+            acc = acc + to_band(
+                jnp.where(m_last, bq, 0.0),
+                dilation * (jh + mi + 1 - kernel_size),
+            )
+        return acc
+
+    def col_adjoint(bq, jw):
+        first_any = col < half * dilation
+        last_any = col >= width - half * dilation
+        interior = jnp.logical_not(jnp.logical_or(first_any, last_any))
+        acc = roll_q(
+            jnp.where(interior, bq, 0.0), -dilation * (jw - half)
+        )
+        for mi in range(half):
+            m_first = (col >= mi * dilation) & (col < (mi + 1) * dilation)
+            m_last = (col >= width - (mi + 1) * dilation) & (
+                col < width - mi * dilation
+            )
+            acc = acc + roll_q(
+                jnp.where(m_first, bq, 0.0), -dilation * (jw - mi)
+            )
+            acc = acc + roll_q(
+                jnp.where(m_last, bq, 0.0),
+                -dilation * (jw + mi + 1 - kernel_size),
+            )
+        return acc
+
+    return row_clamped, col_clamped, row_adjoint, col_adjoint
+
+
+def _reduce_groups(x: Array, mask: Array, mm_dtype) -> Array:
+    """(px, L) * lane-groups -> (px, G) via MXU (fp32 accumulation)."""
+    return jax.lax.dot_general(
+        x.astype(mm_dtype),
+        mask.astype(mm_dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _broadcast_groups(w: Array, mask: Array, mm_dtype) -> Array:
+    """(px, G) -> (px, L) via MXU (fp32 accumulation)."""
+    return jax.lax.dot_general(
+        w.astype(mm_dtype),
+        mask.astype(mm_dtype),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel.
+# ---------------------------------------------------------------------------
+
+
+def _na2d_fwd_kernel(
+    q_ref, k_ref, v_ref, m_ref, o_ref, kb_ref, vb_ref, sem_ref,
+    *, plan: _Plan, kernel_size, dilation, height, width, head_dim,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    npx = plan.query_px
+
+    src = t * npx
+    copy_k = pltpu.make_async_copy(
+        k_ref.at[b, pl.ds(src, plan.band_px), :], kb_ref, sem_ref.at[0]
+    )
+    copy_v = pltpu.make_async_copy(
+        v_ref.at[b, pl.ds(src, plan.band_px), :], vb_ref, sem_ref.at[1]
+    )
+    copy_k.start()
+    copy_v.start()
+    copy_k.wait()
+    copy_v.wait()
+
+    row_clamped, col_clamped, _, _ = _shift_ctx(
+        plan, kernel_size, dilation, height, width, t
+    )
+
+    scale = head_dim**-0.5
+    q = q_ref[0].astype(jnp.float32) * scale
+    kb = kb_ref[:].astype(jnp.float32)
+    vb = vb_ref[:].astype(jnp.float32)
+    mask = m_ref[:]
+    # bf16 inputs -> bf16 MXU passes (fp32 accumulation); fp32 stays exact.
+    mm = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+
+    logits = []
+    for jh in range(kernel_size):
+        k_h = row_clamped(kb, jh)
+        for jw in range(kernel_size):
+            k_hw = col_clamped(k_h, jw)
+            logits.append(_reduce_groups(q * k_hw, mask, mm))
+
+    max_logit = logits[0]
+    for l in logits[1:]:
+        max_logit = jnp.maximum(max_logit, l)
+    exps = [jnp.exp(l - max_logit) for l in logits]
+    denom = exps[0]
+    for e in exps[1:]:
+        denom = denom + e
+    inv_denom = 1.0 / denom
+
+    acc = jnp.zeros((npx, plan.lanes), dtype=jnp.float32)
+    idx = 0
+    for jh in range(kernel_size):
+        v_h = row_clamped(vb, jh)
+        for jw in range(kernel_size):
+            v_hw = col_clamped(v_h, jw)
+            w_full = _broadcast_groups(exps[idx] * inv_denom, mask, mm)
+            acc = acc + w_full * v_hw
+            idx += 1
+
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel.
+# ---------------------------------------------------------------------------
+
+
+def _na2d_bwd_kernel(
+    q_ref, k_ref, v_ref, g_ref, m_ref,
+    dq_ref, dkb_ref, dvb_ref,
+    kb_ref, vb_ref, sem_ref,
+    *, plan: _Plan, kernel_size, dilation, height, width, head_dim,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    npx = plan.query_px
+
+    src = t * npx
+    copy_k = pltpu.make_async_copy(
+        k_ref.at[b, pl.ds(src, plan.band_px), :], kb_ref, sem_ref.at[0]
+    )
+    copy_v = pltpu.make_async_copy(
+        v_ref.at[b, pl.ds(src, plan.band_px), :], vb_ref, sem_ref.at[1]
+    )
+    copy_k.start()
+    copy_v.start()
+    copy_k.wait()
+    copy_v.wait()
+
+    row_clamped, col_clamped, row_adjoint, col_adjoint = _shift_ctx(
+        plan, kernel_size, dilation, height, width, t
+    )
+
+    scale = head_dim**-0.5
+    qs = q_ref[0].astype(jnp.float32) * scale
+    g = g_ref[0].astype(jnp.float32)
+    kb = kb_ref[:].astype(jnp.float32)
+    vb = vb_ref[:].astype(jnp.float32)
+    mask = m_ref[:]
+    mm = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+
+    # Pass 1: recompute logits; raw per-window cotangent projections.
+    logits = []
+    dl_raw = []
+    for jh in range(kernel_size):
+        k_h = row_clamped(kb, jh)
+        v_h = row_clamped(vb, jh)
+        for jw in range(kernel_size):
+            k_hw = col_clamped(k_h, jw)
+            v_hw = col_clamped(v_h, jw)
+            logits.append(_reduce_groups(qs * k_hw, mask, mm))
+            dl_raw.append(_reduce_groups(g * v_hw, mask, mm))
+
+    max_logit = logits[0]
+    for l in logits[1:]:
+        max_logit = jnp.maximum(max_logit, l)
+    exps = [jnp.exp(l - max_logit) for l in logits]
+    denom = exps[0]
+    for e in exps[1:]:
+        denom = denom + e
+    inv_denom = 1.0 / denom
+    weights = [e * inv_denom for e in exps]
+
+    dot_term = weights[0] * dl_raw[0]
+    for w_j, r_j in zip(weights[1:], dl_raw[1:]):
+        dot_term = dot_term + w_j * r_j
+    dls = [w_j * (r_j - dot_term) for w_j, r_j in zip(weights, dl_raw)]
+
+    # Pass 2: dq via forward key shifts; dk/dv via adjoint shifts, with the
+    # w-axis adjoint accumulated per jh before one h-axis adjoint each.
+    dq = jnp.zeros((npx, plan.lanes), dtype=jnp.float32)
+    dkb = jnp.zeros((plan.band_px, plan.lanes), dtype=jnp.float32)
+    dvb = jnp.zeros((plan.band_px, plan.lanes), dtype=jnp.float32)
+    idx = 0
+    for jh in range(kernel_size):
+        k_h = row_clamped(kb, jh)
+        dk_inner = jnp.zeros((npx, plan.lanes), dtype=jnp.float32)
+        dv_inner = jnp.zeros((npx, plan.lanes), dtype=jnp.float32)
+        for jw in range(kernel_size):
+            k_hw = col_clamped(k_h, jw)
+            dl_full = _broadcast_groups(dls[idx], mask, mm)
+            w_full = _broadcast_groups(weights[idx], mask, mm)
+            dq = dq + dl_full * k_hw
+            dk_inner = dk_inner + col_adjoint(dl_full * qs, jw)
+            dv_inner = dv_inner + col_adjoint(w_full * g, jw)
+            idx += 1
+        dkb = dkb + row_adjoint(dk_inner, jh)
+        dvb = dvb + row_adjoint(dv_inner, jh)
+
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+    if plan.accumulate_kv:
+        # Sequential band grid revisits the same (b,) output block: zero it
+        # on the first band, then accumulate each band's halo-overlapped
+        # partial in place (flushed to HBM once per batch group).
+        @pl.when(t == 0)
+        def _():
+            dkb_ref[0] = jnp.zeros_like(dkb_ref[0])
+            dvb_ref[0] = jnp.zeros_like(dvb_ref[0])
+
+        sl = pl.ds(t * npx, plan.band_px)
+        dkb_ref[0, sl, :] += dkb.astype(dkb_ref.dtype)
+        dvb_ref[0, sl, :] += dvb.astype(dvb_ref.dtype)
+    else:
+        dkb_ref[0, 0] = dkb.astype(dkb_ref.dtype)
+        dvb_ref[0, 0] = dvb.astype(dvb_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers.
+# ---------------------------------------------------------------------------
+
+
+def _pallas_supported(height, width, kernel_size, dilation) -> bool:
+    return (
+        kernel_size % 2 == 1
+        and kernel_size * dilation <= min(height, width)
+    )
+
+
+def na2d_pallas(
+    q: Array,
+    k: Array,
+    v: Array,
+    kernel_size: int,
+    dilation: int = 1,
+    interpret: bool = False,
+) -> Array:
+    """Banded Pallas neighborhood attention, drop-in for
+    ops.natten.neighborhood_attention_2d (exact NATTEN clamped-window
+    semantics, native dilation, any H/W >= kernel_size*dilation)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, height, width, num_heads, head_dim = q.shape
+    if kernel_size == 1:
+        return v
+    if not _pallas_supported(height, width, kernel_size, dilation):
+        return neighborhood_attention_2d(q, k, v, kernel_size, dilation)
+
+    plan = _make_plan(
+        batch, height, width, num_heads, head_dim, kernel_size, dilation
+    )
+    qf = _query_flat(_to_lanes(q, plan), plan)
+    kf = _kv_flat(_to_lanes(k, plan), plan)
+    vf = _kv_flat(_to_lanes(v, plan), plan)
+    mask = _group_mask(plan, head_dim)
+
+    kernel = functools.partial(
+        _na2d_fwd_kernel,
+        plan=plan,
+        kernel_size=kernel_size,
+        dilation=dilation,
+        height=height,
+        width=width,
+        head_dim=head_dim,
+    )
+    q_spec = pl.BlockSpec(
+        (1, plan.query_px, plan.lanes),
+        lambda b, t: (b, t, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kv_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    m_spec = pl.BlockSpec(
+        (plan.lanes, plan.groups), lambda b, t: (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(plan.batch_groups, plan.num_bands),
+        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
+        in_specs=[q_spec, kv_spec, kv_spec, m_spec],
+        out_specs=q_spec,
+        scratch_shapes=[
+            pltpu.VMEM((plan.band_px, plan.lanes), k.dtype),
+            pltpu.VMEM((plan.band_px, plan.lanes), v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(qf, kf, vf, mask)
+
+    out = out.reshape(
+        plan.batch_groups, plan.height_pad, plan.width_pad, plan.lanes
+    )
+    return _from_lanes(out, plan, batch, height, width, num_heads, head_dim)
+
+
+def _overlap_add(bands: Array, plan: _Plan) -> Array:
+    """Sum per-band kv cotangents into the halo-padded flat kv layout."""
+    kv_px = (plan.height_pad + 2 * plan.halo_rows) * plan.width_pad
+    acc = jnp.zeros(
+        (plan.batch_groups, kv_px, plan.lanes), dtype=bands.dtype
+    )
+    for t in range(plan.num_bands):
+        acc = acc.at[
+            :, t * plan.query_px : t * plan.query_px + plan.band_px, :
+        ].add(bands[:, t])
+    return acc
+
+
+def na2d_pallas_bwd(
+    q: Array,
+    k: Array,
+    v: Array,
+    g: Array,
+    kernel_size: int,
+    dilation: int = 1,
+    interpret: bool = False,
+) -> T.Tuple[Array, Array, Array]:
+    """Pallas NA backward (dq, dk, dv) with in-kernel softmax recompute."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, height, width, num_heads, head_dim = q.shape
+    if kernel_size == 1:
+        return jnp.zeros_like(q), jnp.zeros_like(k), g.astype(v.dtype)
+    if not _pallas_supported(height, width, kernel_size, dilation):
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: neighborhood_attention_2d(
+                q_, k_, v_, kernel_size, dilation
+            ),
+            q,
+            k,
+            v,
+        )
+        return vjp(g)
+
+    # Smaller bands than the forward: the backward's adjoint accumulators and
+    # kv-plane output blocks leave less VMEM headroom for per-band temps.
+    plan = _make_plan(
+        batch, height, width, num_heads, head_dim, kernel_size, dilation,
+        target_band_px=2048,
+    )
+    qf = _query_flat(_to_lanes(q, plan), plan)
+    gf = _query_flat(_to_lanes(g, plan), plan)
+    kf = _kv_flat(_to_lanes(k, plan), plan)
+    vf = _kv_flat(_to_lanes(v, plan), plan)
+    mask = _group_mask(plan, head_dim)
+
+    kernel = functools.partial(
+        _na2d_bwd_kernel,
+        plan=plan,
+        kernel_size=kernel_size,
+        dilation=dilation,
+        height=height,
+        width=width,
+        head_dim=head_dim,
+    )
+    q_spec = pl.BlockSpec(
+        (1, plan.query_px, plan.lanes),
+        lambda b, t: (b, t, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kv_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    m_spec = pl.BlockSpec(
+        (plan.lanes, plan.groups), lambda b, t: (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    if plan.accumulate_kv:
+        kv_out_spec = pl.BlockSpec(
+            (1, plan.kv_px, plan.lanes),
+            lambda b, t: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        kv_out_shape = jax.ShapeDtypeStruct(
+            (plan.batch_groups, plan.kv_px, plan.lanes), jnp.float32
+        )
+    else:
+        kv_out_spec = pl.BlockSpec(
+            (1, 1, plan.band_px, plan.lanes),
+            lambda b, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        kv_out_shape = jax.ShapeDtypeStruct(
+            (plan.batch_groups, plan.num_bands, plan.band_px, plan.lanes),
+            jnp.float32,
+        )
+
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        )
+    dqf, dk_out, dv_out = pl.pallas_call(
+        kernel,
+        grid=(plan.batch_groups, plan.num_bands),
+        out_shape=(
+            jax.ShapeDtypeStruct(qf.shape, q.dtype),
+            kv_out_shape,
+            kv_out_shape,
+        ),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, m_spec],
+        out_specs=(q_spec, kv_out_spec, kv_out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((plan.band_px, plan.lanes), k.dtype),
+            pltpu.VMEM((plan.band_px, plan.lanes), v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(qf, kf, vf, gf, mask)
+
+    dq = dqf.reshape(
+        plan.batch_groups, plan.height_pad, plan.width_pad, plan.lanes
+    )
+    dq = _from_lanes(
+        dq, plan, batch, height, width, num_heads, head_dim
+    ).astype(q.dtype)
+
+    def unpack_kv(out, like):
+        flat = out if plan.accumulate_kv else _overlap_add(out, plan)
+        grid = flat.reshape(
+            plan.batch_groups,
+            plan.height_pad + 2 * plan.halo_rows,
+            plan.width_pad,
+            plan.lanes,
+        )[:, plan.halo_rows : plan.halo_rows + height]
+        return _from_lanes(
+            grid, plan, batch, height, width, num_heads, head_dim
+        ).astype(like.dtype)
+
+    return dq, unpack_kv(dk_out, k), unpack_kv(dv_out, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def na2d_fused(
+    q: Array,
+    k: Array,
+    v: Array,
+    kernel_size: int,
+    dilation: int = 1,
+    interpret: bool = False,
+) -> Array:
+    """na2d with Pallas forward AND Pallas backward (flash-style softmax
+    recompute in the backward kernel; residuals are only q, k, v)."""
+    return na2d_pallas(q, k, v, kernel_size, dilation, interpret=interpret)
+
+
+def _na2d_fused_fwd(q, k, v, kernel_size, dilation, interpret):
+    out = na2d_pallas(q, k, v, kernel_size, dilation, interpret=interpret)
+    return out, (q, k, v)
+
+
+def _na2d_fused_bwd(kernel_size, dilation, interpret, residuals, g):
+    q, k, v = residuals
+    return na2d_pallas_bwd(
+        q, k, v, g, kernel_size, dilation, interpret=interpret
+    )
+
+
+na2d_fused.defvjp(_na2d_fused_fwd, _na2d_fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused LN -> QKV -> NA -> proj -> LN block (single-program variant for
+# small channel counts; kept for experiments — the banded core is default).
 # ---------------------------------------------------------------------------
 
 
@@ -67,11 +798,6 @@ def na_block_reference(
     out = rearrange(out, "b h w n d -> b h w (n d)")
     out = out @ params["w_proj"] + params["b_proj"]
     return _layer_norm(out, params["ln2_scale"], params["ln2_bias"])
-
-
-# ---------------------------------------------------------------------------
-# Pallas kernel (dilation-1 core; cosets handled by the caller).
-# ---------------------------------------------------------------------------
 
 
 def _na_block_kernel(
@@ -287,7 +1013,7 @@ def _na_block_pallas_d1(
     compiler_params = None
     if not interpret:
         compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         )
     out = pl.pallas_call(
         kernel,
@@ -336,198 +1062,6 @@ def na_block_pallas(
     return _na_block_pallas_d1(
         x, params, num_heads, kernel_size, interpret=interpret
     )
-
-
-# ---------------------------------------------------------------------------
-# Attention-core kernel: q, k, v -> out, grid over (batch, head).
-#
-# Per-program working set is O(HWp x head_dim) regardless of total channel
-# width, so this compiles and fits VMEM at every resolution/width the model
-# uses (the fully fused block above is the aggressive variant for small C).
-# ---------------------------------------------------------------------------
-
-
-def _na2d_core_kernel(
-    q_ref, k_ref, v_ref, o_ref, *, kernel_size, height, width
-):
-    from jax.experimental.pallas import tpu as pltpu
-
-    num_px = q_ref.shape[-2]
-    head_dim = q_ref.shape[-1]
-    half = kernel_size // 2
-    scale = head_dim**-0.5
-
-    q = q_ref[0, 0] * scale  # (HWp, D)
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-
-    pixel = jax.lax.broadcasted_iota(jnp.int32, (num_px, head_dim), 0)
-    row = pixel // width
-    col = pixel - row * width
-
-    def shifted(a, s, stride):
-        if s == 0:
-            return a
-        return pltpu.roll(a, (-s * stride) % num_px, 0)
-
-    def clamped(a, j, stride, pos, last):
-        base = shifted(a, j - half, stride)
-        if half == 0:
-            return base
-        out = jnp.where(pos < half, shifted(a, j, stride), base)
-        return jnp.where(
-            pos > last - 1 - half, shifted(a, j - 2 * half, stride), out
-        )
-
-    logits = []
-    for jh in range(kernel_size):
-        k_h = clamped(k, jh, width, row, height)
-        for jw in range(kernel_size):
-            k_hw = clamped(k_h, jw, 1, col, width)
-            logits.append(jnp.sum(q * k_hw, axis=1, keepdims=True))
-
-    max_logit = logits[0]
-    for l in logits[1:]:
-        max_logit = jnp.maximum(max_logit, l)
-    exps = [jnp.exp(l - max_logit) for l in logits]
-    denom = exps[0]
-    for e in exps[1:]:
-        denom = denom + e
-    inv_denom = 1.0 / denom
-
-    out = jnp.zeros((num_px, head_dim), dtype=jnp.float32)
-    idx = 0
-    for jh in range(kernel_size):
-        v_h = clamped(v, jh, width, row, height)
-        for jw in range(kernel_size):
-            v_hw = clamped(v_h, jw, 1, col, width)
-            out = out + (exps[idx] * inv_denom) * v_hw
-            idx += 1
-
-    o_ref[0, 0] = out.astype(o_ref.dtype)
-
-
-def _na2d_pallas_d1(
-    q: Array, k: Array, v: Array, kernel_size: int, interpret: bool = False
-) -> Array:
-    """(B, H, W, N, D) neighborhood attention, dilation 1, grid (B, N)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    batch, height, width, num_heads, head_dim = q.shape
-    num_px = height * width
-    num_px_pad = -(-num_px // 32) * 32
-
-    def to_flat(a):
-        a = jnp.moveaxis(a.reshape(batch, num_px, num_heads, head_dim), 1, 2)
-        if num_px_pad != num_px:
-            a = jnp.pad(a, ((0, 0), (0, 0), (0, num_px_pad - num_px), (0, 0)))
-        return a.astype(jnp.float32)  # Mosaic rolls need 32-bit lanes
-
-    qf, kf, vf = to_flat(q), to_flat(k), to_flat(v)
-
-    spec = pl.BlockSpec(
-        (1, 1, num_px_pad, head_dim),
-        lambda b, n: (b, n, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    kernel = functools.partial(
-        _na2d_core_kernel,
-        kernel_size=kernel_size,
-        height=height,
-        width=width,
-    )
-    compiler_params = None
-    if not interpret:
-        compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        )
-    out = pl.pallas_call(
-        kernel,
-        grid=(batch, num_heads),
-        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
-        in_specs=[spec] * 3,
-        out_specs=spec,
-        compiler_params=compiler_params,
-        interpret=interpret,
-    )(qf, kf, vf)
-    out = jnp.moveaxis(out, 2, 1)[:, :num_px]
-    return out.reshape(batch, height, width, num_heads, head_dim)
-
-
-def na2d_pallas(
-    q: Array,
-    k: Array,
-    v: Array,
-    kernel_size: int,
-    dilation: int = 1,
-    interpret: bool = False,
-) -> Array:
-    """Pallas neighborhood attention, drop-in for
-    ops.natten.neighborhood_attention_2d (NATTEN clamped-window semantics;
-    dilation via coset reshape; XLA fallback for k > 3 or ragged cosets)."""
-    _, height, width, _, _ = q.shape
-    # VMEM bound: per-program buffers are (H*W/dilation^2, 128-lane-padded)
-    # fp32; beyond ~8k flat pixels the Mosaic stack overflows 100MB.
-    flat_pixels = (height // max(dilation, 1)) * (width // max(dilation, 1))
-    if (
-        kernel_size > 3
-        or flat_pixels > 8192
-        or (dilation > 1 and (height % dilation or width % dilation))
-    ):
-        return neighborhood_attention_2d(q, k, v, kernel_size, dilation)
-    if dilation > 1:
-        pattern = "b (hc dh) (wc dw) n d -> (b dh dw) hc wc n d"
-        inverse = "(b dh dw) hc wc n d -> b (hc dh) (wc dw) n d"
-        sizes = dict(dh=dilation, dw=dilation)
-        out = _na2d_pallas_d1(
-            rearrange(q, pattern, **sizes),
-            rearrange(k, pattern, **sizes),
-            rearrange(v, pattern, **sizes),
-            kernel_size,
-            interpret=interpret,
-        )
-        return rearrange(out, inverse, **sizes)
-    return _na2d_pallas_d1(q, k, v, kernel_size, interpret=interpret)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def na2d_fused(
-    q: Array,
-    k: Array,
-    v: Array,
-    kernel_size: int,
-    dilation: int = 1,
-    interpret: bool = False,
-) -> Array:
-    """na2d with Pallas forward and XLA backward (exact same math)."""
-    return na2d_pallas(q, k, v, kernel_size, dilation, interpret=interpret)
-
-
-def _na2d_fused_fwd(q, k, v, kernel_size, dilation, interpret):
-    out = na2d_pallas(q, k, v, kernel_size, dilation, interpret=interpret)
-    return out, (q, k, v)
-
-
-def _na2d_fused_bwd(kernel_size, dilation, interpret, residuals, g):
-    q, k, v = residuals
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: neighborhood_attention_2d(
-            q_, k_, v_, kernel_size, dilation
-        ),
-        q,
-        k,
-        v,
-    )
-    return vjp(g)
-
-
-na2d_fused.defvjp(_na2d_fused_fwd, _na2d_fused_bwd)
-
-
-# ---------------------------------------------------------------------------
-# custom_vjp wrapper: Pallas forward, XLA backward.
-# ---------------------------------------------------------------------------
 
 
 @functools.partial(

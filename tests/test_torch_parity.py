@@ -1,0 +1,211 @@
+"""Numeric parity against the PyTorch reference model.
+
+The reference package is imported with stub dependencies and a real torch
+neighborhood-attention stand-in (utils/torch_import.py); its state_dict is
+translated into flax variables (utils/torch_params.py) and both models run
+the same input in fp32. This is the checkpoint-import path for migrating
+trained reference models (reference model.py:331-404) and the strongest
+parity anchor in the suite: full-model forward agreement to ~1e-5.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from cultionet_tpu.utils.torch_import import (  # noqa: E402
+    load_reference_module,
+    reference_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference package not present"
+)
+
+MODEL_KWARGS = dict(
+    hidden_channels=8,
+    num_classes=1,
+    res_block_type="resa",
+    dropout=0.0,
+    dilations=[1, 2],
+    activation_type="SiLU",
+    pool_by_max=False,
+    batchnorm_first=False,
+    use_latlon=False,
+)
+
+
+def _build_pair(attention_weights: str):
+    import jax
+    import jax.numpy as jnp
+
+    from cultionet_tpu.models.tower_unet import TowerUNet
+    from cultionet_tpu.utils.torch_params import import_torch_state_dict
+
+    nunet_ref = load_reference_module("cultionet.models.nunet")
+    torch.manual_seed(0)
+    tm = nunet_ref.TowerUNet(
+        in_channels=3,
+        in_time=6,
+        edge_activation=True,
+        mask_activation=True,
+        attention_weights=attention_weights,
+        **MODEL_KWARGS,
+    )
+    tm.eval()
+
+    jm = TowerUNet(
+        in_time=6, attention_weights=attention_weights, **MODEL_KWARGS
+    )
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 6, 16, 16)).astype("float32")
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))
+    variables = jm.init(jax.random.PRNGKey(0), xj, None, training=False)
+    new_vars = import_torch_state_dict(tm.state_dict(), variables)
+    return tm, jm, new_vars, x, xj
+
+
+@pytest.mark.parametrize(
+    "attention_weights", ["natten", "spatial_channel"]
+)
+def test_full_model_forward_parity(attention_weights):
+    """Reference TowerUNet vs this framework, transferred weights, fp32."""
+    tm, jm, new_vars, x, xj = _build_pair(attention_weights)
+
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(x), latlon_coords=None)
+    j_out = jm.apply(
+        {
+            "params": new_vars["params"],
+            "batch_stats": new_vars["batch_stats"],
+        },
+        xj,
+        None,
+        training=False,
+    )
+    for key in ("distance", "edge", "crop"):
+        tv = t_out[key].numpy()[:, 0]
+        jv = np.asarray(j_out[key])
+        if jv.ndim == 4:
+            jv = jv[..., 0]
+        np.testing.assert_allclose(tv, jv, atol=2e-5, rtol=1e-4)
+
+
+def test_torch_natten_matches_jax_oracle():
+    """The torch natten stand-in and the JAX NA op agree (cross-oracle)."""
+    import jax.numpy as jnp
+
+    from cultionet_tpu.ops.natten import neighborhood_attention_2d
+    from cultionet_tpu.utils.torch_import import install_reference_stubs
+
+    install_reference_stubs()
+    import natten
+
+    rng = np.random.default_rng(0)
+    for (h, w, n, d, ks, dil) in [(10, 12, 2, 8, 3, 1), (9, 11, 2, 8, 3, 2)]:
+        q, k, v = (
+            rng.normal(size=(2, h, w, n, d)).astype("float32")
+            for _ in range(3)
+        )
+        t_out = natten.functional.na2d(
+            torch.from_numpy(q),
+            torch.from_numpy(k),
+            torch.from_numpy(v),
+            ks,
+            dil,
+        ).numpy()
+        j_out = np.asarray(
+            neighborhood_attention_2d(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), ks, dil
+            )
+        )
+        np.testing.assert_allclose(t_out, j_out, atol=1e-5)
+
+
+def test_block_parity_pre_time_reduction():
+    """PreTimeReduction (reference nunet.py:18-105) vs the flax front end."""
+    import jax
+    import jax.numpy as jnp
+
+    from cultionet_tpu.models.temporal import PreTimeReduction
+    from cultionet_tpu.utils.torch_params import import_torch_state_dict
+
+    nunet_ref = load_reference_module("cultionet.models.nunet")
+    torch.manual_seed(1)
+    tm = nunet_ref.PreTimeReduction(
+        in_channels=3, in_time=6, out_channels=8, activation_type="SiLU"
+    )
+    tm.eval()
+    jm = PreTimeReduction(out_channels=8, in_time=6, activation_type="SiLU")
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 3, 6, 12, 12)).astype("float32")
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))
+    variables = jm.init(jax.random.PRNGKey(0), xj, training=False)
+    new_vars = import_torch_state_dict(tm.state_dict(), variables)
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(x)).numpy()
+    j_out = np.asarray(
+        jm.apply(
+            {
+                "params": new_vars["params"],
+                "batch_stats": new_vars["batch_stats"],
+            },
+            xj,
+            training=False,
+        )
+    )
+    np.testing.assert_allclose(
+        np.transpose(t_out, (0, 2, 3, 1)), j_out, atol=1e-5
+    )
+
+
+def test_block_parity_conv_transpose_stride4():
+    """Regression for the stride>kernel ConvTranspose grid fix."""
+    import jax
+    import jax.numpy as jnp
+
+    from cultionet_tpu.nn.blocks import ConvTranspose2d
+
+    conv_ref = load_reference_module("cultionet.nn.modules.convolution")
+    rng = np.random.default_rng(0)
+    for stride in (2, 4):
+        torch.manual_seed(1)
+        tm = conv_ref.ConvTranspose2d(
+            in_channels=5,
+            out_channels=5,
+            kernel_size=3,
+            stride=stride,
+            padding=1,
+        )
+        tm.eval()
+        x = rng.normal(size=(1, 5, 4, 4)).astype("float32")
+        with torch.no_grad():
+            yt = tm(torch.from_numpy(x), size=(16, 16)).numpy()
+        jm = ConvTranspose2d(
+            out_channels=5, kernel_size=3, stride=stride, padding=1
+        )
+        xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+        jm.init(jax.random.PRNGKey(0), xj, (16, 16))
+        kern = np.transpose(
+            tm.up_conv.weight.detach().numpy(), (2, 3, 0, 1)
+        )[::-1, ::-1].copy()
+        yj = np.asarray(
+            jm.apply(
+                {
+                    "params": {
+                        "ConvTranspose_0": {
+                            "kernel": jnp.asarray(kern),
+                            "bias": jnp.asarray(
+                                tm.up_conv.bias.detach().numpy()
+                            ),
+                        }
+                    }
+                },
+                xj,
+                (16, 16),
+            )
+        )
+        np.testing.assert_allclose(
+            np.transpose(yt, (0, 2, 3, 1)), yj, atol=1e-5
+        )
