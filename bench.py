@@ -1,4 +1,4 @@
-"""Benchmark: flagship training-step throughput on the canonical chip.
+"""Benchmark: flagship training throughput on the canonical chip.
 
 Workload: the reference's canonical chip x=[3 channels, T=12, 100x100]
 (README.md:38; BASELINE.json) through the full CultioNet/TowerUNet
@@ -6,20 +6,55 @@ Workload: the reference's canonical chip x=[3 channels, T=12, 100x100]
 Tanimoto-combined loss, backward, AdamW update — in bf16 compute / fp32
 params on whatever accelerator JAX exposes.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+``value`` is the honest END-TO-END number: chips/sec streaming from the
+native C++ chipstore through ``device_put`` into the jitted train step
+(the rate a user actually trains at). ``extra`` carries the step-only rate
+(the r01 metric, for cross-round comparability), the host loader rate, and
+an analytic-FLOPs MFU estimate from XLA's compiled cost analysis.
+
+Timing is synchronized by HOST READBACK of the step's loss scalar:
+``jax.block_until_ready`` does not wait for execution on the tunneled
+'axon' TPU platform, so every timed window ends with a device_get.
+
 ``vs_baseline`` is measured against the driver-set target of 1 canonical
-chip/sec/chip train throughput (BASELINE.json "100x100xT=12 chips/sec/chip");
+chip/sec train throughput (BASELINE.json "100x100xT=12 chips/sec/chip");
 the reference itself publishes no numbers (BASELINE.md).
 """
 
 import json
+import tempfile
 import time
+from pathlib import Path
 
 import jax
 import numpy as np
 
+# Peak bf16 FLOP/s per chip by TPU generation (public figures; substring
+# match against jax device_kind). Used only for the advisory MFU estimate.
+_PEAK_FLOPS = {
+    "v6": 918e12,
+    "v5p": 459e12,
+    "v5": 197e12,  # v5e / "TPU v5 lite"
+    "v4": 275e12,
+}
+
+
+def _sync(x) -> float:
+    """Force completion via host readback (see module docstring)."""
+    return float(np.asarray(jax.device_get(x)))
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in _PEAK_FLOPS.items():
+        if key in kind:
+            return peak
+    return 0.0
+
 
 def main() -> None:
+    from cultionet_tpu.data.chipstore import ChipStore, write_chipstore
     from cultionet_tpu.data.synthetic import create_batch
     from cultionet_tpu.enums import AttentionTypes, LossTypes
     from cultionet_tpu.models import CultioNet
@@ -49,21 +84,32 @@ def main() -> None:
     )
     state = create_train_state(model, tx, batch, seed=0)
 
-    platform = jax.devices()[0].platform
+    device = jax.devices()[0]
+    platform = device.platform
     precision = "bf16" if platform == "tpu" else "fp32"
-    train_step = make_train_step(
-        loss_name=LossTypes.TANIMOTO_COMBINED, precision=precision
+    from cultionet_tpu.train.step import strip_static
+
+    step_fn = jax.jit(
+        make_train_step(
+            loss_name=LossTypes.TANIMOTO_COMBINED,
+            precision=precision,
+            jit=False,
+        ),
+        donate_argnums=(0,),
     )
+
+    def train_step(state, b, rng):
+        return step_fn(state, strip_static(b), rng)
 
     key = jax.random.PRNGKey(0)
 
-    # Warmup / compile (several steps: remote-tunnel dispatch backlogs make
-    # the first timing window unrepresentative).
+    # Warmup / compile; host readback drains any tunnel dispatch backlog.
     for _ in range(5):
         key, subkey = jax.random.split(key)
         state, logs = train_step(state, batch, subkey)
-    jax.block_until_ready(logs["loss"])
+    _sync(logs["loss"])
 
+    # ---- Step-only rate (resident batch; the r01 headline metric) ----
     steps = 30
     best = float("inf")
     for _ in range(3):
@@ -71,19 +117,119 @@ def main() -> None:
         for _ in range(steps):
             key, subkey = jax.random.split(key)
             state, logs = train_step(state, batch, subkey)
-        jax.block_until_ready(logs["loss"])
+        _sync(logs["loss"])
         best = min(best, time.perf_counter() - start)
+    step_chips_per_sec = steps * batch_size / best
+    step_time = best / steps
 
-    chips_per_sec = steps * batch_size / best
+    # ---- Analytic-FLOPs MFU from XLA's compiled cost analysis ----
+    mfu = flops_per_step = 0.0
+    try:
+        # Reuse the traced/compiled step: lower() hits jit's cache, so this
+        # does not pay a second compile.
+        cost = (
+            step_fn.lower(state, strip_static(batch), key)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0))
+        peak = _peak_flops(device)
+        if peak and flops_per_step:
+            mfu = (flops_per_step / step_time) / peak
+    except Exception:
+        pass
+
+    # ---- End-to-end: native chipstore -> host batch -> device -> step ----
+    n_chips = 192  # ~1.1 GB store; epochs reshuffle endlessly during timing
+    chips = [
+        create_batch(
+            num_channels=3,
+            num_time=12,
+            height=100,
+            width=100,
+            batch_size=1,
+            rng=rng,
+        )
+        for _ in range(n_chips)
+    ]
+    e2e_chips_per_sec = loader_chips_per_sec = 0.0
+    with tempfile.TemporaryDirectory() as tmp:
+        store_path = Path(tmp) / "bench.cts"
+        # int16-packed v2 store: half the host bytes and half the
+        # host->device transfer; dequantized inside the compiled step.
+        write_chipstore(store_path, chips, packed=True)
+        store = ChipStore(store_path)
+        try:
+            # Host-loader-only rate (zero-copy slot ring).
+            n_loader = 32
+            it = store.iter_prefetched(
+                batch_size=batch_size,
+                num_threads=4,
+                num_batches=n_loader + 4,
+                copy=False,
+            )
+            for _ in range(4):  # warm the ring
+                next(it)
+            start = time.perf_counter()
+            seen = 0
+            for b in it:
+                seen += b.num_samples
+            loader_chips_per_sec = seen / (time.perf_counter() - start)
+        finally:
+            store.close()
+
+        store = ChipStore(store_path)
+        try:
+            n_e2e = 48
+            it = store.iter_prefetched(
+                batch_size=batch_size,
+                num_threads=4,
+                num_batches=n_e2e + 4,
+                copy=False,
+            )
+            # Warm (first batches hit cold jit cache entries for donation).
+            for _ in range(4):
+                hb = next(it)
+                db = jax.device_put(hb)
+                key, subkey = jax.random.split(key)
+                state, logs = train_step(state, db, subkey)
+            _sync(logs["loss"])
+            start = time.perf_counter()
+            seen = 0
+            for hb in it:
+                db = jax.device_put(hb)
+                key, subkey = jax.random.split(key)
+                state, logs = train_step(state, db, subkey)
+                seen += hb.num_samples
+            _sync(logs["loss"])
+            e2e_chips_per_sec = seen / (time.perf_counter() - start)
+        finally:
+            store.close()
+
     target = 1.0  # driver-set floor: 1 canonical chip/sec (BASELINE.json)
+    value = e2e_chips_per_sec or step_chips_per_sec
 
     print(
         json.dumps(
             {
                 "metric": "train_chips_per_sec_100x100xT12",
-                "value": round(chips_per_sec, 3),
-                "unit": f"chips/sec ({platform}, bs={batch_size}, {precision})",
-                "vs_baseline": round(chips_per_sec / target, 3),
+                "value": round(value, 3),
+                "unit": (
+                    f"chips/sec end-to-end ({platform}, bs={batch_size}, "
+                    f"{precision}, chipstore->device->step)"
+                ),
+                "vs_baseline": round(value / target, 3),
+                "extra": {
+                    "step_only_chips_per_sec": round(step_chips_per_sec, 3),
+                    "loader_only_chips_per_sec": round(
+                        loader_chips_per_sec, 3
+                    ),
+                    "step_time_ms": round(step_time * 1e3, 3),
+                    "flops_per_step": flops_per_step,
+                    "mfu": round(mfu, 4),
+                },
             }
         )
     )

@@ -43,11 +43,7 @@ SPATIAL_NAMES = ("rot90", "rot180", "rot270", "fliplr", "flipud", "cropresize")
 TEMPORAL_NAMES = ("tswarp", "tsnoise", "tsdrift", "tspeaks", "roll")
 
 
-def _cpu_device():
-    try:
-        return jax.devices("cpu")[0]
-    except RuntimeError:
-        return jax.devices()[0]
+from ..utils.host import cpu_device as _cpu_device
 
 
 def label_segments(y: np.ndarray, crop_value: int = 1) -> np.ndarray:
@@ -86,6 +82,15 @@ class Augmenters:
 
     def __call__(self, batch: Batch) -> Batch:
         with jax.default_device(_cpu_device()):
+            # Host batches carry numpy leaves; jnp-ify once (on the CPU
+            # backend) so .at[] updates etc. work uniformly.
+            batch = batch.replace(
+                x=jnp.asarray(batch.x),
+                y=None if batch.y is None else jnp.asarray(batch.y),
+                bdist=(
+                    None if batch.bdist is None else jnp.asarray(batch.bdist)
+                ),
+            )
             for name in self.augmentations:
                 batch = self._apply_one(name, batch)
         return batch

@@ -75,6 +75,11 @@ class CultionetParams:
 
     # Devices
     devices: int = 1
+    # ZeRO-3-style parameter/optimizer sharding over the data mesh
+    # (reference Lightning strategy='fsdp', args.yml:274). min_size is the
+    # smallest tensor (elements) worth sharding.
+    fsdp: bool = False
+    fsdp_min_size: int = 2**16
     profiler: T.Optional[str] = None
 
     def __post_init__(self):

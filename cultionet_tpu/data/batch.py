@@ -149,6 +149,39 @@ class Batch:
         lat = (self.bottom + self.top) / 2.0
         return self.replace(lat=lat, lon=lon)
 
+    @property
+    def is_packed(self) -> bool:
+        """True when x carries int16 x 10000 records (chipstore v2 /
+        reference int16 chips) awaiting on-device dequantization."""
+        return jnp.issubdtype(jnp.asarray(self.x).dtype, jnp.integer)
+
+    def dequantize(self, dtype=jnp.float32) -> "Batch":
+        """Unpack int16 x 10000 records to float on the current device.
+
+        jit-safe (dtype checks are trace-time static): transfer chips as
+        int16 — half the host->HBM bytes of float32 — and pay the cheap
+        elementwise dequant on the accelerator. No-op for float batches.
+        """
+        from .constant import SCALE_FACTOR
+
+        out = self
+        if jnp.issubdtype(jnp.asarray(out.x).dtype, jnp.integer):
+            out = out.replace(
+                x=out.x.astype(dtype) * jnp.asarray(1.0 / SCALE_FACTOR, dtype)
+            )
+        if out.bdist is not None and jnp.issubdtype(
+            jnp.asarray(out.bdist).dtype, jnp.integer
+        ):
+            out = out.replace(
+                bdist=out.bdist.astype(dtype)
+                * jnp.asarray(1.0 / SCALE_FACTOR, dtype)
+            )
+        if out.y is not None:
+            y = jnp.asarray(out.y)
+            if y.dtype != jnp.int32:
+                out = out.replace(y=y.astype(jnp.int32))
+        return out
+
     # ------------------------------------------------------------------
     # Serialization: .npz native format + reference-compatible .pt reader
     # ------------------------------------------------------------------
@@ -176,8 +209,56 @@ class Batch:
                 if name == "batch_id":
                     kwargs["batch_id"] = tuple(str(s) for s in data[name])
                 else:
-                    kwargs[name] = jnp.asarray(data[name])
+                    # Keep leaves as host numpy arrays: the loading pipeline
+                    # must not touch the accelerator (one device_put per
+                    # collated batch, not one transfer per chip field).
+                    kwargs[name] = data[name]
         return cls(**kwargs)
+
+    _META_KEYS = (
+        "left",
+        "bottom",
+        "right",
+        "top",
+        "window_row_off",
+        "window_col_off",
+        "window_height",
+        "window_width",
+        "window_pad_bottom",
+        "window_pad_right",
+    )
+
+    @classmethod
+    def read_meta(cls, path: T.Union[str, Path]) -> "Batch":
+        """Metadata-only read: geo bounds + window geometry, never the
+        (large, compressed) x/y/bdist arrays. npz member access is lazy, so
+        this decompresses only the tiny scalar entries — the cheap path for
+        centroid scans and scene-geometry scans over thousands of chips.
+        Falls back to a full read for reference ``.pt`` chips (joblib blobs
+        are monolithic)."""
+        path = Path(path)
+        if path.suffix == ".pt":
+            full = cls.from_reference_file(path)
+            return cls(
+                x=np.zeros((full.num_samples, 0)),
+                **{k: getattr(full, k) for k in cls._META_KEYS},
+                batch_id=full.batch_id,
+            )
+        with np.load(path, allow_pickle=False) as data:
+            kwargs = {
+                name: data[name]
+                for name in data.files
+                if name in cls._META_KEYS
+            }
+            n = 1
+            for key in cls._META_KEYS:
+                if key in kwargs:
+                    n = int(np.atleast_1d(kwargs[key]).shape[0])
+                    break
+            batch_id = None
+            if "batch_id" in data.files:
+                batch_id = tuple(str(s) for s in data["batch_id"])
+        return cls(x=np.zeros((n, 0)), batch_id=batch_id, **kwargs)
 
     @classmethod
     def from_reference_file(cls, path: T.Union[str, Path]) -> "Batch":

@@ -19,6 +19,7 @@ from .batch import Batch
 
 _MAGIC = b"CTS1"
 _VERSION = 1
+_VERSION_PACKED = 2
 _META_FLOATS = 8
 
 _NATIVE_DIR = Path(__file__).parent.parent / "native"
@@ -59,15 +60,17 @@ def load_library() -> ctypes.CDLL:
     lib.cs_num_chips.restype = ctypes.c_int64
     lib.cs_num_chips.argtypes = [ctypes.c_void_p]
     lib.cs_dims.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32)]
+    lib.cs_version.restype = ctypes.c_uint32
+    lib.cs_version.argtypes = [ctypes.c_void_p]
     lib.cs_read_batch.restype = ctypes.c_int
     lib.cs_read_batch.argtypes = [
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
     ]
     lib.cs_prefetch_start.restype = ctypes.c_int
     lib.cs_prefetch_start.argtypes = [
@@ -98,8 +101,18 @@ def load_library() -> ctypes.CDLL:
 def write_chipstore(
     path: T.Union[str, Path],
     batches: T.Iterable[Batch],
+    packed: bool = False,
 ) -> Path:
-    """Pack an iterable of single-chip Batches into one chipstore file."""
+    """Pack an iterable of single-chip Batches into one chipstore file.
+
+    ``packed=True`` writes version-2 records: x and bdist quantized to
+    int16 x 10000 (the packing the reference stores chips in natively,
+    data/constant.py:1) and y as int16 — half the bytes of float32, and
+    half the host->HBM transfer when dequantized on device
+    (``Batch.dequantize`` / automatic inside the train/eval steps).
+    """
+    from .constant import SCALE_FACTOR
+
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
 
@@ -110,12 +123,20 @@ def write_chipstore(
     _, t, h, w, c = first.x.shape
     has_labels = first.y is not None
 
+    def quantize(arr) -> np.ndarray:
+        arr = np.asarray(arr)
+        if np.issubdtype(arr.dtype, np.integer):
+            return np.ascontiguousarray(arr, dtype="<i2")
+        return np.round(
+            np.clip(arr * SCALE_FACTOR, -32768, 32767)
+        ).astype("<i2")
+
     with open(path, "wb") as dst:
         dst.write(
             struct.pack(
                 "<4sIQIIIIII",
                 _MAGIC,
-                _VERSION,
+                _VERSION_PACKED if packed else _VERSION,
                 len(chips),
                 t,
                 h,
@@ -127,16 +148,29 @@ def write_chipstore(
         )
         for chip in chips:
             assert chip.x.shape == (1, t, h, w, c), "chip shape mismatch"
-            dst.write(
-                np.ascontiguousarray(chip.x[0], dtype="<f4").tobytes()
-            )
+            if packed:
+                dst.write(quantize(chip.x[0]).tobytes())
+            else:
+                dst.write(
+                    np.ascontiguousarray(chip.x[0], dtype="<f4").tobytes()
+                )
             if has_labels:
-                dst.write(
-                    np.ascontiguousarray(chip.y[0], dtype="<i4").tobytes()
-                )
-                dst.write(
-                    np.ascontiguousarray(chip.bdist[0], dtype="<f4").tobytes()
-                )
+                if packed:
+                    dst.write(
+                        np.ascontiguousarray(
+                            chip.y[0], dtype="<i2"
+                        ).tobytes()
+                    )
+                    dst.write(quantize(chip.bdist[0]).tobytes())
+                else:
+                    dst.write(
+                        np.ascontiguousarray(chip.y[0], dtype="<i4").tobytes()
+                    )
+                    dst.write(
+                        np.ascontiguousarray(
+                            chip.bdist[0], dtype="<f4"
+                        ).tobytes()
+                    )
             meta = np.zeros(_META_FLOATS, dtype="<f4")
             for i, name in enumerate(("left", "bottom", "right", "top")):
                 value = getattr(chip, name)
@@ -167,20 +201,27 @@ class ChipStore:
         )
         self.has_labels = bool(has_labels)
         self.num_chips = int(self.lib.cs_num_chips(self.handle))
+        self.version = int(self.lib.cs_version(self.handle))
+        self.packed = self.version == _VERSION_PACKED
+        # Per-field record dtypes (version 2 = int16-packed, see
+        # native/chipstore.cpp header comment).
+        self.x_dtype = np.int16 if self.packed else np.float32
+        self.y_dtype = np.int16 if self.packed else np.int32
+        self.bdist_dtype = np.int16 if self.packed else np.float32
         self._prefetching = False
 
     def __len__(self) -> int:
         return self.num_chips
 
     def _alloc(self, n: int):
-        x = np.empty((n, self.t, self.h, self.w, self.c), dtype="float32")
+        x = np.empty((n, self.t, self.h, self.w, self.c), dtype=self.x_dtype)
         y = (
-            np.empty((n, self.h, self.w), dtype="int32")
+            np.empty((n, self.h, self.w), dtype=self.y_dtype)
             if self.has_labels
             else None
         )
         bdist = (
-            np.empty((n, self.h, self.w), dtype="float32")
+            np.empty((n, self.h, self.w), dtype=self.bdist_dtype)
             if self.has_labels
             else None
         )
@@ -188,10 +229,10 @@ class ChipStore:
         return x, y, bdist, meta
 
     @staticmethod
-    def _ptr(a, ctype):
+    def _ptr(a, ctype=None):
         if a is None:
             return None
-        return a.ctypes.data_as(ctypes.POINTER(ctype))
+        return ctypes.c_void_p(a.ctypes.data)
 
     def _to_batch(self, x, y, bdist, meta, n) -> Batch:
         return Batch(
@@ -214,10 +255,10 @@ class ChipStore:
             self.handle,
             idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             n,
-            self._ptr(x, ctypes.c_float),
-            self._ptr(y, ctypes.c_int32),
-            self._ptr(bdist, ctypes.c_float),
-            self._ptr(meta, ctypes.c_float),
+            self._ptr(x),
+            self._ptr(y),
+            self._ptr(bdist),
+            self._ptr(meta),
         )
         if rc != 0:
             raise IndexError("chip index out of range")
@@ -263,27 +304,30 @@ class ChipStore:
                 def view(ptr, dtype, shape):
                     if not ptr:
                         return None
-                    size = int(np.prod(shape))
-                    ctype = (
-                        ctypes.c_float
-                        if dtype == np.float32
-                        else ctypes.c_int32
+                    nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+                    buf = ctypes.cast(
+                        ptr, ctypes.POINTER(ctypes.c_uint8 * nbytes)
                     )
-                    buf = ctypes.cast(ptr, ctypes.POINTER(ctype * size))
                     arr = np.frombuffer(
                         buf.contents, dtype=dtype
                     ).reshape(shape)
                     return arr
 
                 n = int(count.value)
-                x = view(ptrs[0], np.float32, x_shape)[:n]
+                x = view(ptrs[0], self.x_dtype, x_shape)[:n]
                 y = (
-                    view(ptrs[1], np.int32, (batch_size, self.h, self.w))
+                    view(
+                        ptrs[1], self.y_dtype, (batch_size, self.h, self.w)
+                    )
                     if self.has_labels
                     else None
                 )
                 bdist = (
-                    view(ptrs[2], np.float32, (batch_size, self.h, self.w))
+                    view(
+                        ptrs[2],
+                        self.bdist_dtype,
+                        (batch_size, self.h, self.w),
+                    )
                     if self.has_labels
                     else None
                 )

@@ -93,21 +93,31 @@ class ChipDataset:
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _scale(values: jnp.ndarray, clip_min: float, clip_max: float):
+    def _scale(values, clip_min: float, clip_max: float) -> np.ndarray:
         """1/10000 scaling for int16-packed chips; floats already in range
         pass through (reference datasets.py:443-446 always divides because
-        its chips are always packed)."""
-        arr = values
-        if jnp.issubdtype(arr.dtype, jnp.integer) or (
+        its chips are always packed). Pure numpy — no device sync on the
+        hot loading path."""
+        arr = np.asarray(values)
+        if np.issubdtype(arr.dtype, np.integer) or (
             float(arr.max()) > 2.0 if arr.size else False
         ):
-            arr = arr.astype(jnp.float32) / SCALE_FACTOR
-        return jnp.clip(arr.astype(jnp.float32), clip_min, clip_max)
+            arr = arr.astype(np.float32) / SCALE_FACTOR
+        return np.clip(arr.astype(np.float32), clip_min, clip_max)
 
     def load_file(self, path: Path) -> Batch:
         return Batch.from_file(path)
 
     def __getitem__(self, idx: int) -> Batch:
+        # The whole per-sample pipeline is host work: jnp ops (augmenters,
+        # normalization) are pinned to the CPU backend so nothing touches
+        # the accelerator until the per-batch device_put.
+        from ..utils.host import host_context
+
+        with host_context():
+            return self._get_host(idx)
+
+    def _get_host(self, idx: int) -> Batch:
         batch = self.load_file(self.files[int(idx)])
 
         batch = batch.replace(x=self._scale(batch.x, 1e-9, 1.0))
@@ -138,7 +148,7 @@ class ChipDataset:
         """(N, 2) lon/lat chip centroids from geo bounds (metadata-only read)."""
         points = np.zeros((len(self.files), 2), dtype=np.float64)
         for i, path in enumerate(self.files):
-            batch = self.load_file(path)
+            batch = Batch.read_meta(path)
             if batch.left is None:
                 continue
             points[i, 0] = float(batch.left[0] + batch.right[0]) / 2.0

@@ -59,8 +59,11 @@ class ChipLoader:
         return batches
 
     def _materialize(self, indices: np.ndarray) -> Batch:
-        samples = [self.dataset[int(i)] for i in indices]
-        batch = collate(samples)
+        from ..utils.host import host_context
+
+        with host_context():
+            samples = [self.dataset[int(i)] for i in indices]
+            batch = collate(samples)
         if self.sharding is not None:
             batch = jax.tree_util.tree_map(
                 lambda leaf: jax.device_put(leaf, self.sharding), batch

@@ -11,16 +11,26 @@
 // File layout (little endian):
 //   header:
 //     char     magic[4] = "CTS1"
-//     uint32   version  = 1
+//     uint32   version             // 1 = float32 records, 2 = int16-packed
 //     uint64   num_chips
 //     uint32   t, h, w, c          // x dims per chip
 //     uint32   has_labels          // 1 if y + bdist present
 //     uint32   reserved
-//   per chip (contiguous records):
+//   per chip (contiguous records), version 1:
 //     float32  x[t*h*w*c]
 //     int32    y[h*w]              // when has_labels
 //     float32  bdist[h*w]          // when has_labels
 //     float32  meta[8]             // left, bottom, right, top, lat, lon, 0, 0
+//   per chip, version 2 (half the bytes of v1 — the int16 x 10000 packing the
+//   reference stores chips in natively, data/constant.py:1; dequantized on
+//   the accelerator):
+//     int16    x[t*h*w*c]          // value x 10000
+//     int16    y[h*w]              // when has_labels (class ids, -1 weak)
+//     int16    bdist[h*w]          // when has_labels (value x 10000)
+//     float32  meta[8]
+//
+// The loader is dtype-agnostic: records are raw byte spans; callers query
+// per-field element sizes and supply matching buffers.
 
 #include <algorithm>
 #include <atomic>
@@ -60,15 +70,16 @@ struct Store {
   size_t x_bytes = 0;
   size_t y_bytes = 0;
   size_t bdist_bytes = 0;
+  size_t meta_bytes = kMetaFloats * sizeof(float);
   size_t record_bytes = 0;
 
   // Prefetch pipeline state: a ring of preallocated slots. Workers fill
   // free slots in place; the consumer maps them zero-copy and releases.
   struct Slot {
-    std::vector<float> x;
-    std::vector<int32_t> y;
-    std::vector<float> bdist;
-    std::vector<float> meta;
+    std::vector<uint8_t> x;
+    std::vector<uint8_t> y;
+    std::vector<uint8_t> bdist;
+    std::vector<uint8_t> meta;
     int64_t count = 0;
   };
   std::vector<std::thread> workers;
@@ -89,8 +100,8 @@ struct Store {
   }
 };
 
-void copy_chip(const Store* s, uint64_t chip, float* x_out, int32_t* y_out,
-               float* bdist_out, float* meta_out) {
+void copy_chip(const Store* s, uint64_t chip, uint8_t* x_out, uint8_t* y_out,
+               uint8_t* bdist_out, uint8_t* meta_out) {
   const uint8_t* rec = s->record(chip);
   std::memcpy(x_out, rec, s->x_bytes);
   rec += s->x_bytes;
@@ -100,13 +111,11 @@ void copy_chip(const Store* s, uint64_t chip, float* x_out, int32_t* y_out,
     if (bdist_out) std::memcpy(bdist_out, rec, s->bdist_bytes);
     rec += s->bdist_bytes;
   }
-  if (meta_out) std::memcpy(meta_out, rec, kMetaFloats * sizeof(float));
+  if (meta_out) std::memcpy(meta_out, rec, s->meta_bytes);
 }
 
 void worker_loop(Store* s, uint64_t seed) {
   std::mt19937_64 rng(seed);
-  const size_t x_elems = s->x_bytes / sizeof(float);
-  const size_t hw = size_t(s->header.h) * s->header.w;
 
   while (!s->stop.load()) {
     // Acquire a free slot.
@@ -138,10 +147,12 @@ void worker_loop(Store* s, uint64_t seed) {
     Store::Slot& slot = s->slots[slot_id];
     slot.count = int64_t(indices.size());
     for (size_t i = 0; i < indices.size(); ++i) {
-      copy_chip(s, indices[i], slot.x.data() + i * x_elems,
-                s->header.has_labels ? slot.y.data() + i * hw : nullptr,
-                s->header.has_labels ? slot.bdist.data() + i * hw : nullptr,
-                slot.meta.data() + i * kMetaFloats);
+      copy_chip(s, indices[i], slot.x.data() + i * s->x_bytes,
+                s->header.has_labels ? slot.y.data() + i * s->y_bytes
+                                     : nullptr,
+                s->header.has_labels ? slot.bdist.data() + i * s->bdist_bytes
+                                     : nullptr,
+                slot.meta.data() + i * s->meta_bytes);
     }
 
     std::unique_lock<std::mutex> lock(s->mu);
@@ -173,18 +184,21 @@ void* cs_open(const char* path) {
   s->data = static_cast<const uint8_t*>(mapped);
   s->file_size = size_t(st.st_size);
   std::memcpy(&s->header, s->data, sizeof(Header));
-  if (std::memcmp(s->header.magic, "CTS1", 4) != 0) {
+  const Header& h = s->header;
+  if (std::memcmp(h.magic, "CTS1", 4) != 0 ||
+      (h.version != 1 && h.version != 2)) {
     munmap(mapped, st.st_size);
     ::close(fd);
     delete s;
     return nullptr;
   }
-  const Header& h = s->header;
-  s->x_bytes = size_t(h.t) * h.h * h.w * h.c * sizeof(float);
-  s->y_bytes = h.has_labels ? size_t(h.h) * h.w * sizeof(int32_t) : 0;
-  s->bdist_bytes = h.has_labels ? size_t(h.h) * h.w * sizeof(float) : 0;
-  s->record_bytes =
-      s->x_bytes + s->y_bytes + s->bdist_bytes + kMetaFloats * sizeof(float);
+  const size_t x_elem = h.version == 2 ? sizeof(int16_t) : sizeof(float);
+  const size_t y_elem = h.version == 2 ? sizeof(int16_t) : sizeof(int32_t);
+  const size_t b_elem = h.version == 2 ? sizeof(int16_t) : sizeof(float);
+  s->x_bytes = size_t(h.t) * h.h * h.w * h.c * x_elem;
+  s->y_bytes = h.has_labels ? size_t(h.h) * h.w * y_elem : 0;
+  s->bdist_bytes = h.has_labels ? size_t(h.h) * h.w * b_elem : 0;
+  s->record_bytes = s->x_bytes + s->y_bytes + s->bdist_bytes + s->meta_bytes;
   return s;
 }
 
@@ -201,20 +215,27 @@ void cs_dims(void* handle, uint32_t* dims_out) {
   dims_out[4] = h.has_labels;
 }
 
-// Synchronous batched read of explicit indices.
+uint32_t cs_version(void* handle) {
+  return static_cast<Store*>(handle)->header.version;
+}
+
+// Synchronous batched read of explicit indices. Buffers are raw bytes typed
+// per the store version (query cs_version / cs_dims from the caller).
 int cs_read_batch(void* handle, const int64_t* indices, int64_t n,
-                  float* x_out, int32_t* y_out, float* bdist_out,
-                  float* meta_out) {
+                  void* x_out, void* y_out, void* bdist_out, void* meta_out) {
   auto* s = static_cast<Store*>(handle);
-  const size_t x_elems = s->x_bytes / sizeof(float);
-  const size_t hw = size_t(s->header.h) * s->header.w;
   for (int64_t i = 0; i < n; ++i) {
     uint64_t chip = uint64_t(indices[i]);
     if (chip >= s->header.num_chips) return -1;
-    copy_chip(s, chip, x_out + size_t(i) * x_elems,
-              y_out ? y_out + size_t(i) * hw : nullptr,
-              bdist_out ? bdist_out + size_t(i) * hw : nullptr,
-              meta_out ? meta_out + size_t(i) * kMetaFloats : nullptr);
+    copy_chip(
+        s, chip, static_cast<uint8_t*>(x_out) + size_t(i) * s->x_bytes,
+        y_out ? static_cast<uint8_t*>(y_out) + size_t(i) * s->y_bytes
+              : nullptr,
+        bdist_out
+            ? static_cast<uint8_t*>(bdist_out) + size_t(i) * s->bdist_bytes
+            : nullptr,
+        meta_out ? static_cast<uint8_t*>(meta_out) + size_t(i) * s->meta_bytes
+                 : nullptr);
   }
   return 0;
 }
@@ -232,19 +253,17 @@ int cs_prefetch_start(void* handle, int64_t batch_size, uint64_t seed,
   s->cursor = 0;
   s->stop.store(false);
 
-  const size_t x_elems = s->x_bytes / sizeof(float);
-  const size_t hw = size_t(s->header.h) * s->header.w;
   int slots = num_slots > 0 ? num_slots : 4;
   s->slots.assign(size_t(slots), Store::Slot{});
   s->ready.clear();
   s->free_q.clear();
   for (int i = 0; i < slots; ++i) {
     auto& slot = s->slots[i];
-    slot.x.resize(size_t(batch_size) * x_elems);
-    slot.meta.resize(size_t(batch_size) * kMetaFloats);
+    slot.x.resize(size_t(batch_size) * s->x_bytes);
+    slot.meta.resize(size_t(batch_size) * s->meta_bytes);
     if (s->header.has_labels) {
-      slot.y.resize(size_t(batch_size) * hw);
-      slot.bdist.resize(size_t(batch_size) * hw);
+      slot.y.resize(size_t(batch_size) * s->y_bytes);
+      slot.bdist.resize(size_t(batch_size) * s->bdist_bytes);
     }
     s->free_q.push_back(i);
   }

@@ -1,10 +1,11 @@
 from .mesh import (
     batch_sharding,
     create_mesh,
-    fsdp_param_sharding,
+    fsdp_state_sharding,
     replicate_state,
     replicated,
     shard_batch,
+    shard_state_fsdp,
 )
 from .sharded import (
     make_sharded_eval_step,
@@ -15,11 +16,12 @@ from .sharded import (
 __all__ = [
     "batch_sharding",
     "create_mesh",
-    "fsdp_param_sharding",
+    "fsdp_state_sharding",
     "make_sharded_eval_step",
     "make_sharded_predict_step",
     "make_sharded_train_step",
     "replicate_state",
     "replicated",
     "shard_batch",
+    "shard_state_fsdp",
 ]

@@ -9,8 +9,9 @@ explicit communication code.
 
 TP/PP/SP/EP are intentionally absent, as in the reference (SURVEY.md §2.3):
 the model is a small conv net; data parallelism is the only axis that pays.
-FSDP-style parameter sharding is available via ``fsdp=True`` for parity with
-the reference's selectable 'fsdp' strategy (args.yml:274).
+FSDP-style parameter sharding is available via ``CultionetParams(fsdp=True)``
+(wired through ``fit``) for parity with the reference's selectable 'fsdp'
+strategy (args.yml:274).
 """
 
 import typing as T
@@ -61,24 +62,48 @@ def replicate_state(state, mesh: Mesh):
     return jax.device_put(state, replicated(mesh))
 
 
-def fsdp_param_sharding(
-    params, mesh: Mesh, axis_name: str = "data", min_size: int = 2**16
-):
-    """Optional FSDP-ish sharding: large parameters sharded along their
-    largest divisible axis, small ones replicated. The model is small
-    (tens of M params) so this exists for strategy parity, not necessity."""
-    axis_size = mesh.shape[axis_name]
-
-    def spec(leaf):
-        if leaf.size < min_size:
-            return NamedSharding(mesh, P())
-        for dim, extent in sorted(
-            enumerate(leaf.shape), key=lambda kv: -kv[1]
-        ):
-            if extent % axis_size == 0:
-                parts: T.List[T.Optional[str]] = [None] * leaf.ndim
-                parts[dim] = axis_name
-                return NamedSharding(mesh, P(*parts))
+def _fsdp_leaf_sharding(
+    leaf, mesh: Mesh, axis_name: str, min_size: int
+) -> NamedSharding:
+    """Large tensors shard along their largest mesh-divisible axis; small
+    tensors and scalars replicate (ZeRO-3-style parameter+optimizer-state
+    sharding over the data axis)."""
+    shape = np.shape(leaf)
+    size = int(np.prod(shape)) if shape else 1
+    if size < min_size:
         return NamedSharding(mesh, P())
+    axis_size = mesh.shape[axis_name]
+    for dim, extent in sorted(enumerate(shape), key=lambda kv: -kv[1]):
+        if extent % axis_size == 0:
+            parts: T.List[T.Optional[str]] = [None] * len(shape)
+            parts[dim] = axis_name
+            return NamedSharding(mesh, P(*parts))
+    return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map(spec, params)
+
+def fsdp_state_sharding(
+    state, mesh: Mesh, axis_name: str = "data", min_size: int = 2**16
+):
+    """Sharding pytree for a whole TrainState under FSDP: parameters and
+    matching optimizer moments sharded, scalars/batch-stats replicated.
+
+    The reference exposes Lightning ``strategy='fsdp'`` (args.yml:274) with
+    no custom code; here GSPMD inserts the all-gathers (params, forward/
+    backward) and reduce-scatters (grads) from these annotations. Pass the
+    result as ``state_shardings`` to the sharded step factories and place
+    the state with :func:`shard_state_fsdp`.
+    """
+    return jax.tree_util.tree_map(
+        lambda leaf: _fsdp_leaf_sharding(leaf, mesh, axis_name, min_size),
+        state,
+    )
+
+
+def shard_state_fsdp(
+    state, mesh: Mesh, axis_name: str = "data", min_size: int = 2**16
+):
+    """Place a train state on the mesh with FSDP parameter sharding."""
+    shardings = fsdp_state_sharding(
+        state, mesh, axis_name=axis_name, min_size=min_size
+    )
+    return jax.device_put(state, shardings), shardings

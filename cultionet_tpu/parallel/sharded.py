@@ -27,8 +27,11 @@ def make_sharded_train_step(
     axis_name: str = "data",
     device_augment: bool = False,
     device_augment_noise: float = 0.0,
+    class_weights=None,
+    state_shardings=None,
 ):
-    """Jitted data-parallel train step: state replicated, batch sharded."""
+    """Jitted data-parallel train step: state replicated (or FSDP-sharded
+    when ``state_shardings`` is given), batch sharded."""
     inner = make_train_step(
         loss_name=loss_name,
         edge_class=edge_class,
@@ -36,13 +39,15 @@ def make_sharded_train_step(
         jit=False,
         device_augment=device_augment,
         device_augment_noise=device_augment_noise,
+        class_weights=class_weights,
     )
     repl = replicated(mesh)
     data = batch_sharding(mesh, axis_name)
+    s_state = state_shardings if state_shardings is not None else repl
     jitted = jax.jit(
         inner,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(s_state, data, repl),
+        out_shardings=(s_state, repl),
         donate_argnums=(0,),
     )
 
@@ -58,16 +63,20 @@ def make_sharded_eval_step(
     edge_class: int = 2,
     precision: str = "bf16",
     axis_name: str = "data",
+    class_weights=None,
+    state_shardings=None,
 ):
     inner = make_eval_step(
         loss_name=loss_name,
         edge_class=edge_class,
         precision=precision,
         jit=False,
+        class_weights=class_weights,
     )
     repl = replicated(mesh)
     data = batch_sharding(mesh, axis_name)
-    jitted = jax.jit(inner, in_shardings=(repl, data), out_shardings=repl)
+    s_state = state_shardings if state_shardings is not None else repl
+    jitted = jax.jit(inner, in_shardings=(s_state, data), out_shardings=repl)
 
     def wrapped(state, batch):
         return jitted(state, strip_static(batch))

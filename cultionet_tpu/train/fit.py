@@ -42,6 +42,21 @@ class FitResult:
     norm_values: T.Any = None
 
 
+def _append_csv(path: Path, row: T.Dict[str, T.Any]) -> None:
+    """Append one row to a CSV event file (header written on create) —
+    the plottable epoch/batch event stream standing in for the reference's
+    TensorBoard logger (Lightning default, model.py:181)."""
+    import csv
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    new = not path.exists()
+    with open(path, "a", newline="") as fh:
+        writer = csv.DictWriter(fh, fieldnames=list(row))
+        if new:
+            writer.writeheader()
+        writer.writerow(row)
+
+
 def _mean_metrics(
     rows: T.List[T.Tuple[int, T.Dict[str, jnp.ndarray]]]
 ) -> T.Dict[str, float]:
@@ -74,8 +89,40 @@ def build_model(params: CultionetParams) -> CultioNet:
     return CultioNet(**params.get_model_kwargs())
 
 
-def _make_steps(params: CultionetParams, mesh=None, frozen_mask=None):
+def _resolve_class_weights(params: CultionetParams):
+    """(bg, fg) loss weights when ``scale_pos_weight`` is on: explicit
+    ``class_counts`` first, else the NormValues pixel counts gathered from
+    the train split (the counts the reference computes at
+    normalize.py:119-213 and passes as ``class_counts``, model.py:162)."""
+    if not params.scale_pos_weight:
+        return None
+    from .step import class_weights_from_counts
+
+    crop = edge = None
+    counts = params.class_counts
+    if isinstance(counts, dict):
+        crop, edge = counts.get("crop"), counts.get("edge")
+    elif counts is not None:
+        crop, edge = counts
+    if crop is None or edge is None:
+        nv = getattr(params.dataset, "norm_values", None)
+        if nv is not None:
+            crop = nv.dataset_crop_counts if crop is None else crop
+            edge = nv.dataset_edge_counts if edge is None else edge
+    if crop is None or edge is None:
+        logger.warning(
+            "scale_pos_weight=True but no class counts available "
+            "(set class_counts or attach NormValues); proceeding unweighted"
+        )
+        return None
+    return class_weights_from_counts(crop, edge)
+
+
+def _make_steps(
+    params: CultionetParams, mesh=None, frozen_mask=None, state_shardings=None
+):
     precision = params.compute_precision
+    class_weights = _resolve_class_weights(params)
     if mesh is not None:
         from ..parallel import make_sharded_eval_step, make_sharded_train_step
 
@@ -87,12 +134,16 @@ def _make_steps(params: CultionetParams, mesh=None, frozen_mask=None):
                 precision=precision,
                 device_augment=params.device_augment,
                 device_augment_noise=params.device_augment_noise,
+                class_weights=class_weights,
+                state_shardings=state_shardings,
             ),
             make_sharded_eval_step(
                 mesh,
                 loss_name=params.loss_name,
                 edge_class=params.edge_class,
                 precision=precision,
+                class_weights=class_weights,
+                state_shardings=state_shardings,
             ),
         )
     return (
@@ -103,11 +154,13 @@ def _make_steps(params: CultionetParams, mesh=None, frozen_mask=None):
             donate=False,
             device_augment=params.device_augment,
             device_augment_noise=params.device_augment_noise,
+            class_weights=class_weights,
         ),
         make_eval_step(
             loss_name=params.loss_name,
             edge_class=params.edge_class,
             precision=precision,
+            class_weights=class_weights,
         ),
     )
 
@@ -142,6 +195,44 @@ def _build_tx(
             ),
         )
     return tx
+
+
+def _reestimate_batch_stats(
+    state: TrainState, loader: ChipLoader, precision: str
+) -> TrainState:
+    """Recompute BatchNorm running statistics under the current (e.g. SWA
+    averaged) parameters: one forward pass over the train loader with
+    ``mutable=['batch_stats']``, predictions discarded — the torch
+    ``update_bn`` step Lightning runs after weight averaging, which the
+    reference inherits via its SWA callback (callbacks.py:261-269)."""
+    if not state.batch_stats:
+        return state
+
+    from .precision import resolve_dtype
+
+    compute_dtype = resolve_dtype(precision)
+
+    @jax.jit
+    def bn_step(params, stats, batch):
+        batch = batch.dequantize()
+        _, mutated = state.apply_fn(
+            {
+                "params": cast_floating(params, compute_dtype),
+                "batch_stats": cast_floating(stats, compute_dtype),
+            },
+            batch.replace(x=batch.x.astype(compute_dtype)),
+            training=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        return cast_floating(mutated["batch_stats"], jnp.float32)
+
+    from .step import strip_static
+
+    stats = state.batch_stats
+    for batch in loader:
+        stats = bn_step(state.params, stats, strip_static(batch))
+    return state.replace(batch_stats=stats)
 
 
 def fit(
@@ -261,6 +352,7 @@ def fit(
 
     mesh = None
     shard_batch = None
+    state_shardings = None
     if params.devices > 1:
         assert params.batch_size % params.devices == 0, (
             f"batch_size {params.batch_size} must divide evenly over "
@@ -271,9 +363,20 @@ def fit(
 
         shard_batch = _shard_batch
         mesh = create_mesh(num_devices=params.devices)
-        state = replicate_state(state, mesh)
+        if params.fsdp:
+            # ZeRO-3-style parameter + optimizer-state sharding over the
+            # data axis (reference Lightning strategy='fsdp', args.yml:274).
+            from ..parallel import shard_state_fsdp
 
-    train_step, eval_step = _make_steps(params, mesh=mesh)
+            state, state_shardings = shard_state_fsdp(
+                state, mesh, min_size=params.fsdp_min_size
+            )
+        else:
+            state = replicate_state(state, mesh)
+
+    train_step, eval_step = _make_steps(
+        params, mesh=mesh, state_shardings=state_shardings
+    )
     # Partial validation batches can't shard evenly over the mesh; they run
     # through an unsharded eval step (replicated state works as-is).
     eval_step_fallback = (
@@ -308,13 +411,29 @@ def fit(
             train_rows.append((batch.num_samples, logs))
 
         val_rows = []
-        for batch in val_loader:
+        for batch_idx, batch in enumerate(val_loader):
             if mesh is not None and batch.num_samples % params.devices == 0:
                 batch = shard_batch(batch, mesh)
                 val_rows.append((batch.num_samples, eval_step(state, batch)))
             else:
                 val_rows.append(
                     (batch.num_samples, eval_step_fallback(state, batch))
+                )
+            if params.save_batch_val_metrics and params.ckpt_file is not None:
+                # Per-VAL-BATCH rows, the reference's
+                # ``batch_metrics.parquet`` semantics (lightning.py:512-534)
+                # as a dependency-free CSV.
+                _append_csv(
+                    Path(params.ckpt_file).parent / "batch_metrics.csv",
+                    {
+                        "epoch": epoch,
+                        "batch": batch_idx,
+                        "num_samples": batch.num_samples,
+                        **{
+                            k: float(v)
+                            for k, v in val_rows[-1][1].items()
+                        },
+                    },
                 )
 
         train_metrics = _mean_metrics(train_rows)
@@ -336,6 +455,9 @@ def fit(
             ),
         }
         history.append(row)
+        if params.ckpt_file is not None:
+            # Epoch-curve event stream (loss/val curves, LR) for plotting.
+            _append_csv(Path(params.ckpt_file).parent / "history.csv", row)
         logger.info(
             f"epoch {epoch}: loss={row['loss']:.4f} "
             f"val_loss={row['val_loss']:.4f} val_score={row['val_score']:.4f}"
@@ -364,18 +486,6 @@ def fit(
                     state, epoch, metrics=row, hyperparams=hyperparams
                 )
 
-        if params.save_batch_val_metrics and params.ckpt_file is not None:
-            metrics_file = (
-                Path(params.ckpt_file).parent / "batch_metrics.json"
-            )
-            existing = (
-                json.loads(metrics_file.read_text())
-                if metrics_file.exists()
-                else []
-            )
-            existing.append(row)
-            metrics_file.write_text(json.dumps(existing, indent=2))
-
     if params.model_pruning:
         from .prune import l1_unstructured_prune
 
@@ -387,6 +497,9 @@ def fit(
 
     if swa_params is not None:
         state = state.replace(params=swa_params)
+        state = _reestimate_batch_stats(
+            state, train_loader, params.compute_precision
+        )
         if ckpt is not None:
             ckpt.save_last(
                 state,

@@ -54,14 +54,48 @@ def create_train_state(
     )
 
 
+def class_weights_from_counts(
+    crop_counts, edge_counts
+) -> T.Dict[str, T.Any]:
+    """(bg, fg) class weights from dataset pixel counts.
+
+    The reference accepts ``class_counts``/``scale_pos_weight`` and defines
+    ``calc_weights`` (lightning.py:580-588) but leaves the weighting wired
+    off; here it is functional: w_c = n / (k * n_c), zeroed where a class
+    is absent.
+    """
+    import numpy as np
+
+    def calc(counts):
+        counts = np.asarray(counts, dtype=np.float64)
+        if counts.size > 2:  # multi-crop classes collapse to binary fg
+            counts = np.array([counts[0], counts[1:].sum()])
+        total = counts.sum()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = total / (len(counts) * counts)
+        return np.nan_to_num(w, nan=0.0, posinf=0.0, neginf=0.0).astype(
+            np.float32
+        )
+
+    return {"crop": calc(crop_counts), "edge": calc(edge_counts)}
+
+
 def calc_loss(
     predictions: T.Dict[str, T.Optional[Array]],
     batch: Batch,
     loss_name: str = LossTypes.TANIMOTO_COMBINED,
     edge_class: int = 2,
+    class_weights: T.Optional[T.Dict[str, T.Any]] = None,
 ) -> T.Tuple[Array, T.Dict[str, Array]]:
     """Multi-task loss: distance + edge + crop, equally weighted
-    (reference lightning.py:209-354)."""
+    (reference lightning.py:209-354).
+
+    ``class_weights`` (from :func:`class_weights_from_counts`) applies
+    (bg, fg) pixel weights to the classification tasks. The set losses
+    multiply both inputs and targets by the mask in ``preprocess``, so
+    passing ``mask * sqrt(w)`` realizes the exactly-weighted Tanimoto /
+    Tversky sums (tpl = sum w*p*t, sq = sum w*(p^2+t^2)).
+    """
     losses = LOSS_DICT[loss_name]
     reg_loss = losses.get("regression")
     cls_loss = losses.get("classification")
@@ -73,18 +107,29 @@ def calc_loss(
     true = get_true_labels(batch.y, edge_class=edge_class)
     mask = true[ValidationNames.MASK]
 
+    edge_mask = crop_mask = mask
+    if class_weights is not None:
+        ew = jnp.asarray(class_weights["edge"], dtype=jnp.float32)
+        cw = jnp.asarray(class_weights["crop"], dtype=jnp.float32)
+        edge_mask = mask * jnp.sqrt(
+            jnp.where(true[ValidationNames.TRUE_EDGE] == 1, ew[1], ew[0])
+        )
+        crop_mask = mask * jnp.sqrt(
+            jnp.where(true[ValidationNames.TRUE_CROP] == 1, cw[1], cw[0])
+        )
+
     dist_loss = reg_loss(
         predictions[InferenceNames.DISTANCE], batch.bdist, mask=mask
     )
     edge_loss = cls_loss(
         predictions[InferenceNames.EDGE],
         true[ValidationNames.TRUE_EDGE],
-        mask=mask,
+        mask=edge_mask,
     )
     crop_loss = cls_loss(
         predictions[InferenceNames.CROP],
         true[ValidationNames.TRUE_CROP],
-        mask=mask,
+        mask=crop_mask,
     )
 
     loss = (dist_loss + edge_loss + crop_loss) / 3.0
@@ -115,6 +160,7 @@ def make_train_step(
     jit: bool = True,
     device_augment: bool = False,
     device_augment_noise: float = 0.0,
+    class_weights: T.Optional[T.Dict[str, T.Any]] = None,
 ):
     """Build a jitted train step: (state, batch, rng) -> (state, logs).
 
@@ -129,6 +175,9 @@ def make_train_step(
     compute_dtype = resolve_dtype(precision)
 
     def train_step(state: TrainState, batch: Batch, rng: Array):
+        # int16-packed chipstore batches dequantize on device (trace-time
+        # no-op for float batches) — half the host->HBM transfer bytes.
+        batch = batch.dequantize()
         if device_augment or device_augment_noise > 0:
             from ..augment.device import augment_batch_on_device
 
@@ -156,7 +205,11 @@ def make_train_step(
             )
             outputs = cast_floating(outputs, jnp.float32)
             loss, report = calc_loss(
-                outputs, batch, loss_name=loss_name, edge_class=edge_class
+                outputs,
+                batch,
+                loss_name=loss_name,
+                edge_class=edge_class,
+                class_weights=class_weights,
             )
             new_stats = cast_floating(mutated["batch_stats"], jnp.float32)
             return loss, (new_stats, report)
@@ -185,11 +238,16 @@ def evaluate_predictions(
     batch: Batch,
     loss_name: str = LossTypes.TANIMOTO_COMBINED,
     edge_class: int = 2,
+    class_weights: T.Optional[T.Dict[str, T.Any]] = None,
 ) -> T.Dict[str, Array]:
     """Loss + metric suite + composite score (reference
     lightning.py:374-481)."""
     loss, report = calc_loss(
-        predictions, batch, loss_name=loss_name, edge_class=edge_class
+        predictions,
+        batch,
+        loss_name=loss_name,
+        edge_class=edge_class,
+        class_weights=class_weights,
     )
 
     true = get_true_labels(batch.y, edge_class=edge_class)
@@ -238,6 +296,7 @@ def evaluate_predictions(
 
 
 def _inference_apply(state: TrainState, batch: Batch, compute_dtype):
+    batch = batch.dequantize()
     run_params = cast_floating(state.params, compute_dtype)
     run_stats = cast_floating(state.batch_stats, compute_dtype)
     run_batch = batch.replace(x=batch.x.astype(compute_dtype))
@@ -254,13 +313,19 @@ def make_eval_step(
     edge_class: int = 2,
     precision: str = "fp32",
     jit: bool = True,
+    class_weights: T.Optional[T.Dict[str, T.Any]] = None,
 ):
     compute_dtype = resolve_dtype(precision)
 
     def eval_step(state: TrainState, batch: Batch):
+        batch = batch.dequantize()
         outputs = _inference_apply(state, batch, compute_dtype)
         return evaluate_predictions(
-            outputs, batch, loss_name=loss_name, edge_class=edge_class
+            outputs,
+            batch,
+            loss_name=loss_name,
+            edge_class=edge_class,
+            class_weights=class_weights,
         )
 
     if not jit:

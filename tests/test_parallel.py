@@ -86,3 +86,55 @@ def test_sharded_matches_single_device(tiny_setup):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+def test_fsdp_sharded_matches_single_device(tiny_setup):
+    """FSDP (params + optimizer moments sharded over the data axis) must be
+    numerically identical to the single-device step — GSPMD's all-gathers /
+    reduce-scatters are invisible to the math."""
+    from cultionet_tpu.parallel import fsdp_state_sharding, shard_state_fsdp
+
+    _, state, batch = tiny_setup
+    mesh = create_mesh()
+    rng = jax.random.PRNGKey(1)
+
+    single_step = make_train_step(precision="fp32", donate=False)
+    single_state, single_logs = single_step(state, batch, rng)
+
+    # min_size=128 so the tiny test model actually shards tensors.
+    fsdp_state, shardings = shard_state_fsdp(state, mesh, min_size=128)
+    # at least one parameter must really be sharded
+    sharded_leaves = [
+        s
+        for s in jax.tree_util.tree_leaves(
+            shardings, is_leaf=lambda x: hasattr(x, "spec")
+        )
+        if any(p is not None for p in s.spec)
+    ]
+    assert sharded_leaves, "expected at least one FSDP-sharded tensor"
+
+    train_step = make_sharded_train_step(
+        mesh, precision="fp32", state_shardings=fsdp_state_sharding(
+            state, mesh, min_size=128
+        )
+    )
+    fsdp_out, fsdp_logs = train_step(fsdp_state, shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(
+        float(single_logs["loss"]), float(fsdp_logs["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(single_state.params),
+        jax.tree_util.tree_leaves(fsdp_out.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+    eval_step = make_sharded_eval_step(
+        mesh,
+        precision="fp32",
+        state_shardings=fsdp_state_sharding(state, mesh, min_size=128),
+    )
+    metrics = eval_step(fsdp_out, shard_batch(batch, mesh))
+    assert np.isfinite(float(metrics["score"]))

@@ -109,3 +109,89 @@ def test_gradient_accumulation_runs():
         key, subkey = jax.random.split(key)
         state, logs = train_step(state, batch, subkey)
     assert np.isfinite(float(logs["loss"]))
+
+
+def test_class_weights_from_counts():
+    from cultionet_tpu.train.step import class_weights_from_counts
+
+    w = class_weights_from_counts(
+        crop_counts=[900, 100], edge_counts=[990, 10]
+    )
+    # w_c = n / (k * n_c): minority class upweighted
+    np.testing.assert_allclose(w["crop"], [1000 / 1800, 1000 / 200])
+    np.testing.assert_allclose(w["edge"], [1000 / 1980, 1000 / 20])
+    # absent classes zero out instead of inf
+    w0 = class_weights_from_counts(crop_counts=[100, 0], edge_counts=[0, 5])
+    assert w0["crop"][1] == 0.0 and w0["edge"][0] == 0.0
+    # multi-crop-class counts collapse to binary foreground
+    wm = class_weights_from_counts(
+        crop_counts=[800, 100, 100], edge_counts=[99, 1]
+    )
+    np.testing.assert_allclose(wm["crop"], [1000 / 1600, 1000 / 400])
+
+
+def test_scale_pos_weight_changes_loss():
+    """Weighted classification losses differ from unweighted on imbalanced
+    labels (the reference accepts scale_pos_weight but never wires it —
+    lightning.py:589-604 is commented out; here it is functional)."""
+    from cultionet_tpu.train.step import (
+        calc_loss,
+        class_weights_from_counts,
+    )
+
+    rng = np.random.default_rng(7)
+    batch = create_batch(
+        num_channels=2, num_time=6, height=16, width=16, batch_size=2, rng=rng
+    )
+    preds = {
+        "distance": jax.numpy.asarray(
+            rng.random((2, 16, 16, 1), dtype=np.float32)
+        ),
+        "edge": jax.numpy.asarray(
+            rng.random((2, 16, 16, 1), dtype=np.float32)
+        ),
+        "crop": jax.numpy.asarray(
+            rng.random((2, 16, 16, 1), dtype=np.float32)
+        ),
+    }
+    base, _ = calc_loss(preds, batch)
+    weighted, _ = calc_loss(
+        preds,
+        batch,
+        class_weights=class_weights_from_counts([900, 100], [990, 10]),
+    )
+    assert np.isfinite(float(base)) and np.isfinite(float(weighted))
+    assert abs(float(base) - float(weighted)) > 1e-4
+
+
+def test_swa_bn_reestimation_updates_stats(tmp_path):
+    """BatchNorm running stats are recomputed under averaged params after
+    SWA (torch update_bn semantics; VERDICT weak #4)."""
+    from cultionet_tpu.data.datasets import ChipDataset
+    from cultionet_tpu.data.loader import ChipLoader
+    from cultionet_tpu.train.fit import _reestimate_batch_stats
+
+    rng = np.random.default_rng(11)
+    for i in range(4):
+        create_batch(
+            num_channels=2, num_time=6, height=16, width=16, rng=rng
+        ).to_file(tmp_path / "processed" / f"data_{i:03d}.npz")
+    ds = ChipDataset(tmp_path)
+    loader = ChipLoader(ds, batch_size=2)
+
+    batch = next(iter(loader))
+    model = CultioNet(
+        in_time=6, hidden_channels=4, attention_weights=None, dilations=[1]
+    )
+    tx = build_optimizer(optimizer="AdamW", learning_rate=1e-3)
+    state = create_train_state(model, tx, batch, seed=0)
+    assert state.batch_stats, "model should carry BatchNorm stats"
+
+    new_state = _reestimate_batch_stats(state, loader, "fp32")
+    before = jax.tree_util.tree_leaves(state.batch_stats)
+    after = jax.tree_util.tree_leaves(new_state.batch_stats)
+    deltas = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(before, after)
+    ]
+    assert max(deltas) > 1e-6, "stats unchanged — re-estimation did nothing"
