@@ -27,8 +27,14 @@ def _require_rasterio():
 
 def read_time_series(
     region_path: T.Union[str, Path],
-) -> T.Tuple[np.ndarray, T.Tuple[float, float, float, float], float]:
-    """Read ``<region>/<variable>/*.tif`` into (T, H, W, C) + bounds + res.
+) -> T.Tuple[
+    np.ndarray,
+    T.Tuple[float, float, float, float],
+    float,
+    T.Optional[str],
+]:
+    """Read ``<region>/<variable>/*.tif`` into (T, H, W, C) + bounds +
+    res + CRS string.
 
     Variables are sorted directories (one per band/vegetation index); dates
     are sorted file stems — the reference's time-series layout
@@ -44,6 +50,7 @@ def read_time_series(
     bands = []
     bounds = None
     cell_res = None
+    crs = None
     for var_dir in var_dirs:
         files = sorted(var_dir.glob("*.tif"))
         frames = []
@@ -53,10 +60,11 @@ def read_time_series(
                 if bounds is None:
                     bounds = tuple(src.bounds)
                     cell_res = abs(src.transform.a)
+                    crs = str(src.crs) if src.crs else None
         bands.append(np.stack(frames))  # (T, H, W)
 
     x = np.stack(bands, axis=-1)  # (T, H, W, C)
-    return x, bounds, cell_res
+    return x, bounds, cell_res, crs
 
 
 def write_geotiff(

@@ -17,6 +17,15 @@ from .batch import Batch, collate
 from .datasets import ChipDataset
 
 
+def process_local_selection(
+    num_files: int, process_index: int, process_count: int
+) -> np.ndarray:
+    """Strided file assignment for multi-host loading: process p takes
+    files p, p+P, p+2P, ... so every chip belongs to exactly one process
+    and per-process counts differ by at most one."""
+    return np.arange(process_index, num_files, process_count)
+
+
 class ChipLoader:
     """Iterate a ChipDataset in collated batches with background prefetch."""
 
@@ -65,9 +74,18 @@ class ChipLoader:
             samples = [self.dataset[int(i)] for i in indices]
             batch = collate(samples)
         if self.sharding is not None:
-            batch = jax.tree_util.tree_map(
-                lambda leaf: jax.device_put(leaf, self.sharding), batch
-            )
+            if jax.process_count() > 1:
+                # Multi-host: this process loaded only its local shard of
+                # the global batch; contribute it to a global jax.Array
+                # (per-rank DDP DataLoader analogue, reference
+                # model.py:179-185).
+                from ..parallel.mesh import global_batch_from_local
+
+                batch = global_batch_from_local(batch, self.sharding)
+            else:
+                batch = jax.tree_util.tree_map(
+                    lambda leaf: jax.device_put(leaf, self.sharding), batch
+                )
         return batch
 
     def __iter__(self) -> T.Iterator[Batch]:

@@ -57,6 +57,27 @@ def shard_batch(batch: Batch, mesh: Mesh, axis_name: str = "data") -> Batch:
     )
 
 
+def global_batch_from_local(
+    batch: Batch, sharding: NamedSharding
+) -> Batch:
+    """Assemble GLOBAL sharded arrays from THIS process's local shard.
+
+    Multi-host input assembly: each process loads only its own slice of the
+    global batch (batch_size_global / process_count samples — the analogue
+    of the reference's per-rank DDP DataLoaders, model.py:179-185) and
+    contributes it via ``jax.make_array_from_process_local_data``; the
+    result is a global jax.Array addressing every host's shards, directly
+    consumable by the sharded train step. Single-process this reduces to a
+    plain sharded ``device_put``.
+    """
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.make_array_from_process_local_data(
+            sharding, np.asarray(leaf)
+        ),
+        batch,
+    )
+
+
 def replicate_state(state, mesh: Mesh):
     """Replicate a train state (params + opt state) across the mesh."""
     return jax.device_put(state, replicated(mesh))

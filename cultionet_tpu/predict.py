@@ -56,29 +56,36 @@ def taper_weights(
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
-def _accumulate_window(
+def _accumulate_windows(
     scene_sum: Array,  # (H, W, 3)
     scene_weight: Array,  # (H, W, 1)
-    window_pred: Array,  # (S, S, 3)
+    window_preds: Array,  # (B, S, S, 3)
     weights: Array,  # (S, S)
-    row0: Array,
-    col0: Array,
+    row0s: Array,  # (B,) int32
+    col0s: Array,  # (B,) int32
+    valid: Array,  # (B,) float32 — 0 masks padded duplicate windows
 ):
-    weighted = window_pred * weights[..., None]
-    start = (row0, col0, 0)
-    tile_sum = jax.lax.dynamic_slice(
-        scene_sum, start, (*weights.shape, scene_sum.shape[-1])
+    """Blend a whole batch of windows in ONE dispatch (sequential
+    fori_loop: overlapping windows within a batch accumulate correctly)."""
+    size = weights.shape[0]
+    bands = scene_sum.shape[-1]
+
+    def body(i, carry):
+        ssum, sweight = carry
+        w = weights * valid[i]
+        weighted = window_preds[i] * w[..., None]
+        start = (row0s[i], col0s[i], 0)
+        tile_sum = jax.lax.dynamic_slice(ssum, start, (size, size, bands))
+        ssum = jax.lax.dynamic_update_slice(ssum, tile_sum + weighted, start)
+        tile_w = jax.lax.dynamic_slice(sweight, start, (size, size, 1))
+        sweight = jax.lax.dynamic_update_slice(
+            sweight, tile_w + w[..., None], start
+        )
+        return ssum, sweight
+
+    return jax.lax.fori_loop(
+        0, window_preds.shape[0], body, (scene_sum, scene_weight)
     )
-    scene_sum = jax.lax.dynamic_update_slice(
-        scene_sum, tile_sum + weighted, start
-    )
-    tile_w = jax.lax.dynamic_slice(
-        scene_weight, start, (*weights.shape, 1)
-    )
-    scene_weight = jax.lax.dynamic_update_slice(
-        scene_weight, tile_w + weights[..., None], start
-    )
-    return scene_sum, scene_weight
 
 
 class ScenePredictor:
@@ -135,13 +142,16 @@ class ScenePredictor:
     ) -> T.Tuple[np.ndarray, T.Tuple[int, int]]:
         """Run all window chips and blend on device; returns the stitched
         (H, W, 3) float raster in [0, 1]."""
-        # Scene extent + window geometry from chip metadata.
+        # Scene extent + window geometry from chip metadata. Header-only
+        # reads (Batch.read_meta): the geometry scan never decompresses the
+        # x arrays, so it is O(bytes of metadata), not O(bytes of scene).
+        from .data.batch import Batch
+
         scene_h = scene_w = 0
         window_size = 0
-        chip_size = None
-        for i in range(len(dataset)):
-            b = dataset.load_file(dataset.files[i])
-            chip_size = b.x.shape[2]
+        self._scene_bounds = None
+        for path in dataset.files:
+            b = Batch.read_meta(path)
             window_size = max(window_size, int(b.window_height[0]))
             scene_h = max(
                 scene_h, int(b.window_row_off[0]) + int(b.window_height[0])
@@ -149,6 +159,14 @@ class ScenePredictor:
             scene_w = max(
                 scene_w, int(b.window_col_off[0]) + int(b.window_width[0])
             )
+            if self._scene_bounds is None and b.left is not None:
+                self._scene_bounds = (
+                    float(b.left[0]),
+                    float(b.bottom[0]),
+                    float(b.right[0]),
+                    float(b.top[0]),
+                )
+        chip_size = dataset.load_file(dataset.files[0]).x.shape[2]
         padding = (chip_size - window_size) // 2
 
         pad = padding
@@ -169,7 +187,7 @@ class ScenePredictor:
                 remainder = batch.num_samples % self.devices
                 if remainder:
                     # Pad to a shardable size by repeating the last window;
-                    # padded entries are excluded from accumulation below
+                    # padded entries are masked out of accumulation below
                     # (their duplicate taper weight would skew the blend
                     # wherever windows overlap).
                     pad_count = self.devices - remainder
@@ -184,18 +202,20 @@ class ScenePredictor:
             preds = jnp.concatenate(
                 [outputs[name] for name in BAND_NAMES], axis=-1
             )  # (B, S, S, 3)
-            for i in range(real_count):
-                # window top-left in padded scene coords
-                row0 = jnp.asarray(batch.window_row_off[i], dtype=jnp.int32)
-                col0 = jnp.asarray(batch.window_col_off[i], dtype=jnp.int32)
-                scene_sum, scene_weight = _accumulate_window(
-                    scene_sum,
-                    scene_weight,
-                    preds[i],
-                    weights,
-                    row0,
-                    col0,
-                )
+            # One accumulation dispatch per batch (padded duplicates get
+            # zero valid-weight); window top-left in padded scene coords.
+            valid = (
+                jnp.arange(preds.shape[0]) < real_count
+            ).astype(jnp.float32)
+            scene_sum, scene_weight = _accumulate_windows(
+                scene_sum,
+                scene_weight,
+                preds,
+                weights,
+                jnp.asarray(batch.window_row_off, dtype=jnp.int32),
+                jnp.asarray(batch.window_col_off, dtype=jnp.int32),
+                valid,
+            )
 
         blended = scene_sum / scene_weight
         # Scene pixel (r, c) lives at buffer (r + pad, c + pad).
@@ -209,11 +229,28 @@ class ScenePredictor:
         dataset: ChipDataset,
         out_path: T.Union[str, Path],
         reference_profile: T.Optional[dict] = None,
+        crs: T.Optional[str] = None,
     ) -> Path:
-        """Stitch and write the 3-band uint16 x 10000 raster."""
+        """Stitch and write the 3-band uint16 x 10000 raster.
+
+        Georeferencing (reference callbacks.py:85-107): the affine transform
+        is derived from the scene bounds the window chips carry, ``crs``
+        (e.g. "EPSG:32633") comes from the scene manifest or the caller;
+        both land in the GeoTIFF profile — or in the ``.npz`` fallback as
+        ``bounds`` / ``transform`` / ``crs`` entries.
+        """
         raster, (scene_h, scene_w) = self.predict_windows(dataset)
         packed = np.clip(raster * SCALE_FACTOR, 0, 65535).astype("uint16")
         packed = np.moveaxis(packed, -1, 0)  # (3, H, W)
+
+        bounds = getattr(self, "_scene_bounds", None)
+        transform_gdal = None
+        if bounds is not None:
+            left, bottom, right, top = bounds
+            res_x = (right - left) / scene_w
+            res_y = (top - bottom) / scene_h
+            # GDAL-order affine: (c, a, b, f, d, e) as rasterio Affine args
+            transform_gdal = (res_x, 0.0, left, 0.0, -res_y, top)
 
         out_path = Path(out_path)
         out_path.parent.mkdir(parents=True, exist_ok=True)
@@ -232,15 +269,28 @@ class ScenePredictor:
                     dtype="uint16",
                     compress="lzw",
                 )
+                if transform_gdal is not None:
+                    profile["transform"] = rasterio.Affine(*transform_gdal)
+                if crs is not None:
+                    profile["crs"] = rasterio.crs.CRS.from_string(str(crs))
                 if reference_profile:
                     profile.update(reference_profile)
                 with rasterio.open(out_path, "w", **profile) as dst:
                     dst.write(packed)
             except ImportError:
                 out_path = out_path.with_suffix(".npz")
+                extras = {}
+                if bounds is not None:
+                    extras["bounds"] = np.asarray(bounds, dtype="float64")
+                    extras["transform"] = np.asarray(
+                        transform_gdal, dtype="float64"
+                    )
+                if crs is not None:
+                    extras["crs"] = np.asarray(str(crs))
                 np.savez_compressed(
                     out_path,
                     raster=packed,
                     band_names=np.asarray([str(b) for b in BAND_NAMES]),
+                    **extras,
                 )
         return out_path

@@ -101,19 +101,24 @@ def log_command(ppaths: ProjectPaths, args: argparse.Namespace) -> None:
 
 def load_scene(
     region_path: Path,
-) -> T.Tuple[np.ndarray, tuple, float, T.Optional[list]]:
+) -> T.Tuple[np.ndarray, tuple, float, T.Optional[str], T.Optional[list]]:
     """Load a region scene: scene.npz (+ polygons.json). Falls back to a
-    rasterio GeoTIFF reader when available (data/geotiff.py)."""
+    rasterio GeoTIFF reader when available (data/geotiff.py). ``crs`` is
+    an optional scene.npz entry (e.g. "EPSG:32633") propagated to the
+    output raster profile at predict time."""
     scene_file = region_path / "scene.npz"
+    crs = None
     if scene_file.is_file():
         with np.load(scene_file, allow_pickle=False) as data:
             x = data["x"]
             bounds = tuple(float(v) for v in data["bounds"])
             cell_res = float(data["cell_res"])
+            if "crs" in data.files:
+                crs = str(data["crs"])
     else:
         from ..data.geotiff import read_time_series
 
-        x, bounds, cell_res = read_time_series(region_path)
+        x, bounds, cell_res, crs = read_time_series(region_path)
 
     polygons = None
     poly_file = region_path / "polygons.json"
@@ -123,7 +128,20 @@ def load_scene(
             (np.asarray(ring, dtype="float64"), int(value))
             for ring, value in raw
         ]
-    return x, bounds, cell_res, polygons
+    return x, bounds, cell_res, crs, polygons
+
+
+def scene_crs(ppaths: ProjectPaths, region: T.Optional[str]) -> T.Optional[str]:
+    """The region's CRS from its scene manifest, if recorded."""
+    if not region:
+        return None
+    scene_file = ppaths.image_path / region / "scene.npz"
+    if not scene_file.is_file():
+        return None
+    with np.load(scene_file, allow_pickle=False) as data:
+        if "crs" in data.files:
+            return str(data["crs"])
+    return None
 
 
 def iter_regions(ppaths: ProjectPaths, regions) -> T.List[Path]:
@@ -164,7 +182,7 @@ def create_dataset(args: argparse.Namespace) -> None:
     write_classes_info(ppaths, args.max_crop_class)
 
     for region_path in iter_regions(ppaths, args.regions):
-        x, bounds, cell_res, polygons = load_scene(region_path)
+        x, bounds, cell_res, _, polygons = load_scene(region_path)
         out = create_train_batch(
             image_time_series=x,
             polygons=polygons,
@@ -190,7 +208,7 @@ def create_predict(args: argparse.Namespace) -> None:
     log_command(ppaths, args)
 
     for region_path in iter_regions(ppaths, args.regions):
-        x, bounds, _, _ = load_scene(region_path)
+        x, bounds, _, _, _ = load_scene(region_path)
         paths = create_predict_dataset(
             image_time_series=x,
             region=region_path.name,
@@ -333,7 +351,9 @@ def predict_image(args: argparse.Namespace, transfer: bool = False) -> None:
         ppaths.predict_path
         / f"{args.region or 'scene'}_{args.start_date}_{args.end_date}.tif"
     )
-    written = predictor.predict_to_raster(dataset, out_path)
+    written = predictor.predict_to_raster(
+        dataset, out_path, crs=scene_crs(ppaths, args.region)
+    )
     logger.info(f"Wrote {written}")
 
 

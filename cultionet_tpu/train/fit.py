@@ -258,6 +258,7 @@ def fit(
     train_ds.augment_prob = params.augment_prob
 
     train_sharding = None
+    loader_batch_size = params.batch_size
     if params.devices > 1:
         from ..parallel import batch_sharding, create_mesh
 
@@ -265,9 +266,30 @@ def fit(
         # host->HBM transfers overlap the previous step's compute.
         train_sharding = batch_sharding(create_mesh(params.devices))
 
+    if jax.process_count() > 1:
+        # Multi-host: each process loads a disjoint stripe of the train
+        # files and contributes batch_size/process_count samples per global
+        # batch (assembled in the loader via make_array_from_process_local_
+        # data). steps_per_epoch must agree across hosts — enforced below.
+        from ..data.loader import process_local_selection
+        from ..parallel.distributed import assert_same_across_hosts
+
+        pc, pi = jax.process_count(), jax.process_index()
+        assert params.batch_size % pc == 0, (
+            f"global batch_size {params.batch_size} must divide over "
+            f"{pc} processes"
+        )
+        loader_batch_size = params.batch_size // pc
+        train_ds = train_ds.index_select(
+            process_local_selection(len(train_ds), pi, pc)
+        )
+        assert_same_across_hosts(
+            len(train_ds) // max(1, loader_batch_size), "steps_per_epoch"
+        )
+
     train_loader = ChipLoader(
         train_ds,
-        batch_size=params.batch_size,
+        batch_size=loader_batch_size,
         shuffle=True,
         drop_last=True,
         num_workers=params.load_batch_workers,

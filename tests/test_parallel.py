@@ -138,3 +138,39 @@ def test_fsdp_sharded_matches_single_device(tiny_setup):
     )
     metrics = eval_step(fsdp_out, shard_batch(batch, mesh))
     assert np.isfinite(float(metrics["score"]))
+
+
+def test_process_local_selection_partitions():
+    from cultionet_tpu.data.loader import process_local_selection
+
+    n, P = 23, 4
+    parts = [process_local_selection(n, p, P) for p in range(P)]
+    allidx = np.sort(np.concatenate(parts))
+    np.testing.assert_array_equal(allidx, np.arange(n))  # disjoint + complete
+    sizes = [len(p) for p in parts]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_global_batch_from_local_single_process(tiny_setup):
+    """With one process, make_array_from_process_local_data assembly equals
+    a plain sharded device_put — the unit-checkable half of the multi-host
+    input path (the strided file selection is the other half)."""
+    from cultionet_tpu.parallel import batch_sharding
+    from cultionet_tpu.parallel.mesh import global_batch_from_local
+
+    _, _, batch = tiny_setup
+    mesh = create_mesh()
+    sharding = batch_sharding(mesh)
+
+    via_local = global_batch_from_local(batch, sharding)
+    via_put = shard_batch(batch, mesh)
+
+    assert via_local.x.sharding.is_equivalent_to(
+        via_put.x.sharding, via_put.x.ndim
+    )
+    np.testing.assert_array_equal(
+        np.asarray(via_local.x), np.asarray(via_put.x)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(via_local.y), np.asarray(via_put.y)
+    )

@@ -88,3 +88,50 @@ def test_single_window_scene_blend_is_identity(tmp_path):
     np.testing.assert_allclose(
         raster, direct[8:48, 8:48], rtol=1e-4, atol=1e-5
     )
+
+
+def test_predict_raster_georeferencing(tmp_path):
+    """Output raster carries the scene's geo metadata: bounds, derived
+    affine transform, and CRS (reference stamps the reference image's
+    profile, callbacks.py:85-107)."""
+    rng = np.random.default_rng(9)
+    scene = rng.random((6, 40, 60, 2)).astype("float32")
+    bounds = (500000.0, 4100000.0, 500600.0, 4100400.0)  # 10 m pixels
+    create_predict_dataset(
+        image_time_series=scene,
+        region="geo",
+        process_path=tmp_path / "predict" / "processed",
+        window_size=40,
+        padding=4,
+        bounds=bounds,
+        num_workers=1,
+    )
+    ds = ChipDataset(tmp_path / "predict")
+    model = CultioNet(
+        in_time=6, hidden_channels=4, attention_weights=None, dilations=[1]
+    )
+    state = create_train_state(
+        model, build_optimizer("AdamW", 1e-3), ds[0], seed=0
+    )
+    predictor = ScenePredictor(state, batch_size=4)
+    out = predictor.predict_to_raster(
+        ds, tmp_path / "out.tif", crs="EPSG:32633"
+    )
+
+    try:
+        import rasterio
+
+        with rasterio.open(out) as src:
+            assert src.crs.to_string() == "EPSG:32633"
+            assert tuple(src.bounds) == pytest.approx(bounds)
+            assert src.transform.a == pytest.approx(10.0)
+            assert src.transform.e == pytest.approx(-10.0)
+    except ImportError:
+        data = np.load(out)
+        assert data["raster"].shape == (3, 40, 60)
+        np.testing.assert_allclose(data["bounds"], bounds)
+        # transform: (res_x, 0, left, 0, -res_y, top)
+        np.testing.assert_allclose(
+            data["transform"], [10.0, 0.0, 500000.0, 0.0, -10.0, 4100400.0]
+        )
+        assert str(data["crs"]) == "EPSG:32633"
