@@ -70,6 +70,9 @@ class CultionetParams:
     stochastic_weight_averaging_start: float = 0.8
     model_pruning: bool = False
     skip_train: bool = False
+    # Run the exponential LR range finder and log a suggestion instead of
+    # training (reference auto_lr_find, model.py:90,301-305).
+    auto_lr_find: bool = False
     finetune: T.Optional[str] = None
     random_seed: int = 42
 

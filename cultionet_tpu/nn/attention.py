@@ -122,29 +122,48 @@ class NeighborhoodAttention2D(nn.Module):
             z, "b h w (n d) -> b h w n d", n=self.num_heads
         )
 
-        weights_fn = None
-        if self.attn_drop > 0:
-            dropout = nn.Dropout(rate=self.attn_drop, deterministic=not training)
-            weights_fn = dropout
-
         from ..ops.flags import pallas_natten_enabled
 
-        use_pallas = pallas_natten_enabled() and not (
-            training and self.attn_drop > 0
-        )
-        if use_pallas:
-            # Fused Mosaic kernel (Pallas fwd, XLA bwd). Attention dropout
-            # requires the in-graph weights hook -> XLA path during training.
-            from ..ops.natten_pallas import na2d_fused
+        dropping = training and self.attn_drop > 0
+        if pallas_natten_enabled():
+            if dropping:
+                # Fused Mosaic kernel with IN-KERNEL attention dropout:
+                # the mask stream is seeded from the flax dropout rng and
+                # redrawn identically in the backward kernel.
+                from ..ops.natten_pallas import na2d_fused_dropout
 
-            out = na2d_fused(
-                split(q),
-                split(k),
-                split(v),
-                self.kernel_size,
-                self.dilation,
-            )
+                seed = jax.random.randint(
+                    self.make_rng("dropout"),
+                    (),
+                    0,
+                    jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32,
+                )
+                out = na2d_fused_dropout(
+                    split(q),
+                    split(k),
+                    split(v),
+                    seed,
+                    self.kernel_size,
+                    self.dilation,
+                    float(self.attn_drop),
+                )
+            else:
+                from ..ops.natten_pallas import na2d_fused
+
+                out = na2d_fused(
+                    split(q),
+                    split(k),
+                    split(v),
+                    self.kernel_size,
+                    self.dilation,
+                )
         else:
+            weights_fn = None
+            if dropping:
+                weights_fn = nn.Dropout(
+                    rate=self.attn_drop, deterministic=False
+                )
             out = neighborhood_attention_2d(
                 split(q),
                 split(k),

@@ -342,9 +342,23 @@ def _broadcast_groups(w: Array, mask: Array, mm_dtype) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def _na2d_fwd_kernel(
-    q_ref, k_ref, v_ref, m_ref, o_ref, kb_ref, vb_ref, sem_ref,
+def _dropout_mask(plan: _Plan, attn_drop: float):
+    """One (px, groups) keep-mask from the kernel's seeded PRNG stream,
+    pre-scaled by 1/(1-p) (inverted dropout). Call order defines the
+    stream: forward and backward must draw masks in the same sequence."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    bits = pltpu.prng_random_bits((plan.query_px, plan.groups))
+    # low 24 bits -> uniform [0, 1) (sign-safe for int32 bit outputs)
+    u = (bits & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24))
+    keep = (u >= attn_drop).astype(jnp.float32)
+    return keep * (1.0 / (1.0 - attn_drop))
+
+
+def _na2d_fwd_impl(
+    seed_ref, q_ref, k_ref, v_ref, m_ref, o_ref, kb_ref, vb_ref, sem_ref,
     *, plan: _Plan, kernel_size, dilation, height, width, head_dim,
+    attn_drop=0.0,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -377,6 +391,12 @@ def _na2d_fwd_kernel(
     # bf16 inputs -> bf16 MXU passes (fp32 accumulation); fp32 stays exact.
     mm = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
 
+    if attn_drop > 0.0:
+        # Per-program deterministic stream: the backward kernel reseeds
+        # with the same (seed, program) pair and redraws identical masks
+        # (Mosaic prng_seed accepts at most two words).
+        pltpu.prng_seed(seed_ref[0], b * plan.num_bands + t)
+
     logits = []
     for jh in range(kernel_size):
         k_h = row_clamped(kb, jh)
@@ -392,6 +412,9 @@ def _na2d_fwd_kernel(
     for e in exps[1:]:
         denom = denom + e
     inv_denom = 1.0 / denom
+    # Mosaic lowers 1/x to a fast approximate reciprocal (~2e-3 relative);
+    # one Newton step squares the error to below f32 noise.
+    inv_denom = inv_denom * (2.0 - denom * inv_denom)
 
     acc = jnp.zeros((npx, plan.lanes), dtype=jnp.float32)
     idx = 0
@@ -399,11 +422,36 @@ def _na2d_fwd_kernel(
         v_h = row_clamped(vb, jh)
         for jw in range(kernel_size):
             v_hw = col_clamped(v_h, jw)
-            w_full = _broadcast_groups(exps[idx] * inv_denom, mask, mm)
+            w = exps[idx] * inv_denom
+            if attn_drop > 0.0:
+                # Inverted dropout on the attention weights (the natten
+                # module's attn_drop between softmax and AV — reference
+                # nn/modules/convolution.py:348).
+                w = w * _dropout_mask(plan, attn_drop)
+            w_full = _broadcast_groups(w, mask, mm)
             acc = acc + w_full * v_hw
             idx += 1
 
     o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _na2d_fwd_kernel(
+    q_ref, k_ref, v_ref, m_ref, o_ref, kb_ref, vb_ref, sem_ref, **kw
+):
+    _na2d_fwd_impl(
+        None, q_ref, k_ref, v_ref, m_ref, o_ref, kb_ref, vb_ref, sem_ref,
+        **kw,
+    )
+
+
+def _na2d_fwd_drop_kernel(
+    q_ref, k_ref, v_ref, m_ref, seed_ref, o_ref, kb_ref, vb_ref, sem_ref,
+    **kw,
+):
+    _na2d_fwd_impl(
+        seed_ref, q_ref, k_ref, v_ref, m_ref, o_ref, kb_ref, vb_ref,
+        sem_ref, **kw,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -411,11 +459,12 @@ def _na2d_fwd_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _na2d_bwd_kernel(
-    q_ref, k_ref, v_ref, g_ref, m_ref,
+def _na2d_bwd_impl(
+    seed_ref, q_ref, k_ref, v_ref, g_ref, m_ref,
     dq_ref, dkb_ref, dvb_ref,
     kb_ref, vb_ref, sem_ref,
     *, plan: _Plan, kernel_size, dilation, height, width, head_dim,
+    attn_drop=0.0,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -449,6 +498,13 @@ def _na2d_bwd_kernel(
     mm = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
 
     # Pass 1: recompute logits; raw per-window cotangent projections.
+    # With attention dropout the chain is out = sum_j (m_j/(1-p)) w_j v_j:
+    # dw_j picks up the same mask factor (r~_j = m_j r_j / (1-p)), and the
+    # dv weights become the dropped weights w~_j = m_j w_j / (1-p). Masks
+    # are redrawn from the identical (seed, b, t) stream as the forward.
+    if attn_drop > 0.0:
+        pltpu.prng_seed(seed_ref[0], b * plan.num_bands + t)
+
     logits = []
     dl_raw = []
     for jh in range(kernel_size):
@@ -468,7 +524,21 @@ def _na2d_bwd_kernel(
     for e in exps[1:]:
         denom = denom + e
     inv_denom = 1.0 / denom
+    inv_denom = inv_denom * (2.0 - denom * inv_denom)  # Newton refine
     weights = [e * inv_denom for e in exps]
+
+    if attn_drop > 0.0:
+        # Same draw order as the forward's weight loop (idx = 0..k^2-1).
+        drop_masks = [
+            _dropout_mask(plan, attn_drop)
+            for _ in range(kernel_size * kernel_size)
+        ]
+        dl_raw = [m_j * r_j for m_j, r_j in zip(drop_masks, dl_raw)]
+        dropped_weights = [
+            m_j * w_j for m_j, w_j in zip(drop_masks, weights)
+        ]
+    else:
+        dropped_weights = weights
 
     dot_term = weights[0] * dl_raw[0]
     for w_j, r_j in zip(weights[1:], dl_raw[1:]):
@@ -488,7 +558,7 @@ def _na2d_bwd_kernel(
         for jw in range(kernel_size):
             k_hw = col_clamped(k_h, jw)
             dl_full = _broadcast_groups(dls[idx], mask, mm)
-            w_full = _broadcast_groups(weights[idx], mask, mm)
+            w_full = _broadcast_groups(dropped_weights[idx], mask, mm)
             dq = dq + dl_full * k_hw
             dk_inner = dk_inner + col_adjoint(dl_full * qs, jw)
             dv_inner = dv_inner + col_adjoint(w_full * g, jw)
@@ -496,6 +566,14 @@ def _na2d_bwd_kernel(
         dkb = dkb + row_adjoint(dk_inner, jh)
         dvb = dvb + row_adjoint(dv_inner, jh)
 
+    _store_bwd_outputs(
+        pl, dq, dkb, dvb, dq_ref, dkb_ref, dvb_ref, scale, plan, t, npx
+    )
+
+
+def _store_bwd_outputs(
+    pl, dq, dkb, dvb, dq_ref, dkb_ref, dvb_ref, scale, plan, t, npx
+):
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
     if plan.accumulate_kv:
         # Sequential band grid revisits the same (b,) output block: zero it
@@ -512,6 +590,30 @@ def _na2d_bwd_kernel(
     else:
         dkb_ref[0, 0] = dkb.astype(dkb_ref.dtype)
         dvb_ref[0, 0] = dvb.astype(dvb_ref.dtype)
+
+
+def _na2d_bwd_kernel(
+    q_ref, k_ref, v_ref, g_ref, m_ref,
+    dq_ref, dkb_ref, dvb_ref,
+    kb_ref, vb_ref, sem_ref,
+    **kw,
+):
+    _na2d_bwd_impl(
+        None, q_ref, k_ref, v_ref, g_ref, m_ref,
+        dq_ref, dkb_ref, dvb_ref, kb_ref, vb_ref, sem_ref, **kw,
+    )
+
+
+def _na2d_bwd_drop_kernel(
+    q_ref, k_ref, v_ref, g_ref, m_ref, seed_ref,
+    dq_ref, dkb_ref, dvb_ref,
+    kb_ref, vb_ref, sem_ref,
+    **kw,
+):
+    _na2d_bwd_impl(
+        seed_ref, q_ref, k_ref, v_ref, g_ref, m_ref,
+        dq_ref, dkb_ref, dvb_ref, kb_ref, vb_ref, sem_ref, **kw,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -533,10 +635,17 @@ def na2d_pallas(
     kernel_size: int,
     dilation: int = 1,
     interpret: bool = False,
+    attn_drop: float = 0.0,
+    seed: T.Optional[Array] = None,
 ) -> Array:
     """Banded Pallas neighborhood attention, drop-in for
     ops.natten.neighborhood_attention_2d (exact NATTEN clamped-window
-    semantics, native dilation, any H/W >= kernel_size*dilation)."""
+    semantics, native dilation, any H/W >= kernel_size*dilation).
+
+    ``attn_drop`` > 0 applies inverted dropout to the attention weights
+    in-kernel (hardware PRNG seeded from ``seed`` + program ids) — the
+    natten module's attn_drop, without leaving the fused path.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -544,7 +653,12 @@ def na2d_pallas(
     if kernel_size == 1:
         return v
     if not _pallas_supported(height, width, kernel_size, dilation):
-        return neighborhood_attention_2d(q, k, v, kernel_size, dilation)
+        weights_fn = (
+            _xla_weights_dropout(attn_drop, seed) if attn_drop > 0 else None
+        )
+        return neighborhood_attention_2d(
+            q, k, v, kernel_size, dilation, weights_fn=weights_fn
+        )
 
     plan = _make_plan(
         batch, height, width, num_heads, head_dim, kernel_size, dilation
@@ -555,13 +669,14 @@ def na2d_pallas(
     mask = _group_mask(plan, head_dim)
 
     kernel = functools.partial(
-        _na2d_fwd_kernel,
+        _na2d_fwd_drop_kernel if attn_drop > 0 else _na2d_fwd_kernel,
         plan=plan,
         kernel_size=kernel_size,
         dilation=dilation,
         height=height,
         width=width,
         head_dim=head_dim,
+        attn_drop=float(attn_drop),
     )
     q_spec = pl.BlockSpec(
         (1, plan.query_px, plan.lanes),
@@ -574,6 +689,15 @@ def na2d_pallas(
         memory_space=pltpu.VMEM,
     )
 
+    in_specs = [q_spec, kv_spec, kv_spec, m_spec]
+    inputs = [qf, kf, vf, mask]
+    if attn_drop > 0:
+        seed_arr = jnp.asarray(
+            seed if seed is not None else 0, dtype=jnp.int32
+        ).reshape((1,))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(seed_arr)
+
     compiler_params = None
     if not interpret:
         compiler_params = pltpu.CompilerParams(
@@ -583,7 +707,7 @@ def na2d_pallas(
         kernel,
         grid=(plan.batch_groups, plan.num_bands),
         out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
-        in_specs=[q_spec, kv_spec, kv_spec, m_spec],
+        in_specs=in_specs,
         out_specs=q_spec,
         scratch_shapes=[
             pltpu.VMEM((plan.band_px, plan.lanes), k.dtype),
@@ -592,7 +716,7 @@ def na2d_pallas(
         ],
         compiler_params=compiler_params,
         interpret=interpret,
-    )(qf, kf, vf, mask)
+    )(*inputs)
 
     out = out.reshape(
         plan.batch_groups, plan.height_pad, plan.width_pad, plan.lanes
@@ -613,6 +737,17 @@ def _overlap_add(bands: Array, plan: _Plan) -> Array:
     return acc
 
 
+def _xla_weights_dropout(attn_drop: float, seed):
+    """weights_fn applying seeded inverted dropout (XLA fallback path)."""
+
+    def weights_fn(w):
+        key = jax.random.PRNGKey(jnp.asarray(seed, dtype=jnp.int32).ravel()[0])
+        keep = jax.random.bernoulli(key, 1.0 - attn_drop, w.shape)
+        return w * keep.astype(w.dtype) / (1.0 - attn_drop)
+
+    return weights_fn
+
+
 def na2d_pallas_bwd(
     q: Array,
     k: Array,
@@ -621,6 +756,8 @@ def na2d_pallas_bwd(
     kernel_size: int,
     dilation: int = 1,
     interpret: bool = False,
+    attn_drop: float = 0.0,
+    seed: T.Optional[Array] = None,
 ) -> T.Tuple[Array, Array, Array]:
     """Pallas NA backward (dq, dk, dv) with in-kernel softmax recompute."""
     from jax.experimental import pallas as pl
@@ -630,9 +767,12 @@ def na2d_pallas_bwd(
     if kernel_size == 1:
         return jnp.zeros_like(q), jnp.zeros_like(k), g.astype(v.dtype)
     if not _pallas_supported(height, width, kernel_size, dilation):
+        weights_fn = (
+            _xla_weights_dropout(attn_drop, seed) if attn_drop > 0 else None
+        )
         _, vjp = jax.vjp(
             lambda q_, k_, v_: neighborhood_attention_2d(
-                q_, k_, v_, kernel_size, dilation
+                q_, k_, v_, kernel_size, dilation, weights_fn=weights_fn
             ),
             q,
             k,
@@ -653,13 +793,14 @@ def na2d_pallas_bwd(
     mask = _group_mask(plan, head_dim)
 
     kernel = functools.partial(
-        _na2d_bwd_kernel,
+        _na2d_bwd_drop_kernel if attn_drop > 0 else _na2d_bwd_kernel,
         plan=plan,
         kernel_size=kernel_size,
         dilation=dilation,
         height=height,
         width=width,
         head_dim=head_dim,
+        attn_drop=float(attn_drop),
     )
     q_spec = pl.BlockSpec(
         (1, plan.query_px, plan.lanes),
@@ -691,6 +832,15 @@ def na2d_pallas_bwd(
             jnp.float32,
         )
 
+    in_specs = [q_spec, kv_spec, kv_spec, q_spec, m_spec]
+    inputs = [qf, kf, vf, gf, mask]
+    if attn_drop > 0:
+        seed_arr = jnp.asarray(
+            seed if seed is not None else 0, dtype=jnp.int32
+        ).reshape((1,))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(seed_arr)
+
     compiler_params = None
     if not interpret:
         compiler_params = pltpu.CompilerParams(
@@ -704,7 +854,7 @@ def na2d_pallas_bwd(
             kv_out_shape,
             kv_out_shape,
         ),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, m_spec],
+        in_specs=in_specs,
         out_specs=(q_spec, kv_out_spec, kv_out_spec),
         scratch_shapes=[
             pltpu.VMEM((plan.band_px, plan.lanes), k.dtype),
@@ -713,7 +863,7 @@ def na2d_pallas_bwd(
         ],
         compiler_params=compiler_params,
         interpret=interpret,
-    )(qf, kf, vf, gf, mask)
+    )(*inputs)
 
     dq = dqf.reshape(
         plan.batch_groups, plan.height_pad, plan.width_pad, plan.lanes
@@ -764,6 +914,55 @@ def _na2d_fused_bwd(kernel_size, dilation, interpret, residuals, g):
 
 
 na2d_fused.defvjp(_na2d_fused_fwd, _na2d_fused_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def na2d_fused_dropout(
+    q: Array,
+    k: Array,
+    v: Array,
+    seed: Array,
+    kernel_size: int,
+    dilation: int = 1,
+    attn_drop: float = 0.0,
+    interpret: bool = False,
+) -> Array:
+    """na2d with in-kernel attention-weights dropout (Pallas fwd + bwd).
+
+    The backward redraws the identical dropout masks from (seed, program
+    ids) — residuals stay just (q, k, v, seed), nothing mask-sized is
+    stored. This keeps the fused Mosaic path on the TRAINING path with the
+    natten module's attn_drop semantics (reference convolution.py:348).
+    """
+    return na2d_pallas(
+        q, k, v, kernel_size, dilation,
+        interpret=interpret, attn_drop=attn_drop, seed=seed,
+    )
+
+
+def _na2d_fused_dropout_fwd(
+    q, k, v, seed, kernel_size, dilation, attn_drop, interpret
+):
+    out = na2d_pallas(
+        q, k, v, kernel_size, dilation,
+        interpret=interpret, attn_drop=attn_drop, seed=seed,
+    )
+    return out, (q, k, v, seed)
+
+
+def _na2d_fused_dropout_bwd(
+    kernel_size, dilation, attn_drop, interpret, residuals, g
+):
+    q, k, v, seed = residuals
+    dq, dk, dv = na2d_pallas_bwd(
+        q, k, v, g, kernel_size, dilation,
+        interpret=interpret, attn_drop=attn_drop, seed=seed,
+    )
+    dseed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return dq, dk, dv, dseed
+
+
+na2d_fused_dropout.defvjp(_na2d_fused_dropout_fwd, _na2d_fused_dropout_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -264,6 +264,9 @@ def _build_params(
         reset_model=args.reset_model,
         skip_train=args.skip_train,
         stochastic_weight_averaging=args.stochastic_weight_averaging,
+        auto_lr_find=getattr(args, "auto_lr_find", False),
+        scale_pos_weight=getattr(args, "scale_pos_weight", False),
+        fsdp=getattr(args, "fsdp", False),
         finetune=getattr(args, "finetune", None),
         profiler=args.profiler,
     )

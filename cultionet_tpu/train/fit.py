@@ -251,6 +251,23 @@ def fit(
     if params.in_channels is None:
         params.update_channels(dataset)
 
+    if params.auto_lr_find:
+        # LR sweep instead of training (reference model.py:301-305).
+        from .lr_finder import lr_find
+
+        sweep = lr_find(params)
+        return FitResult(
+            state=None,
+            model=build_model(params),
+            history=[
+                {"lr": lr, "loss": loss}
+                for lr, loss in zip(sweep.lrs, sweep.losses)
+            ],
+            best_score=(
+                sweep.suggestion if sweep.suggestion is not None else -1.0
+            ),
+        )
+
     train_ds, val_ds = dataset.split_train_val(
         val_frac=params.val_frac,
         spatial_balance=params.spatial_partitions is not None,

@@ -2,10 +2,9 @@
 
 Capability parity with the reference's utils/stats.py: Chan-style running
 mean/variance (with mean- or median-of-batch centering, stats.py:625-683), a
-streaming per-channel quantile estimator (the reference uses a KLL sketch,
-stats.py:236; here a bounded uniform reservoir per channel — unbiased quantile
-estimates with O(r) memory), and resumable stat tallies with on-disk state
-caching (stats.py:711-807).
+streaming per-channel KLL quantile sketch (the same sketch family the
+reference uses, stats.py:236, vectorized over channels), and resumable stat
+tallies with on-disk state caching (stats.py:711-807).
 
 All state lives in numpy on the host: statistics passes are IO-bound, not
 compute-bound.
@@ -152,48 +151,101 @@ class Variance(Stat):
 
 
 class Quantile(Stat):
-    """Streaming per-channel quantiles via bounded uniform reservoirs."""
+    """Streaming per-channel quantiles via a KLL sketch (Karnin-Lall-
+    Liberty 2016), matching the reference's sketch (stats.py:236, r=6144).
+
+    One sketch services all C channels simultaneously: every channel
+    receives the same item COUNT, so the compactor levels stay length-
+    synchronized and each buffer is an (n, C) array whose columns sort
+    independently — a fully vectorized multi-channel KLL. Rank error is
+    O(1/r) with O(r log(n/r)) memory; unlike a uniform reservoir the
+    estimate variance does not grow with stream length.
+    """
 
     def __init__(self, r: int = 6144, seed: int = 42):
-        self.r = r
+        self.r = int(r)  # top-compactor capacity (KLL's k)
         self.count = 0
-        self._reservoir = None  # (r, C)
-        self._filled = 0
         self._rng = np.random.default_rng(seed)
+        self._levels: T.List[np.ndarray] = []  # level i holds weight-2^i rows
         self._sum = None
+        self._chunk = max(self.r, 1024)
+
+    # -- internals -----------------------------------------------------
+
+    def _capacity(self, level: int) -> int:
+        """Level capacities decay ~ (2/3)^depth below the top level."""
+        depth = len(self._levels) - 1 - level
+        return max(int(np.ceil(self.r * (2.0 / 3.0) ** depth)), 2)
+
+    def _compress(self) -> None:
+        while True:
+            total = sum(buf.shape[0] for buf in self._levels)
+            budget = sum(
+                self._capacity(i) for i in range(len(self._levels))
+            )
+            if total <= budget:
+                return
+            for i, buf in enumerate(self._levels):
+                if buf.shape[0] >= self._capacity(i):
+                    # Compact: sort columns, keep a random odd/even half at
+                    # double weight, promote to level i+1.
+                    n = buf.shape[0] - (buf.shape[0] % 2)
+                    srt = np.sort(buf[:n], axis=0)
+                    offset = int(self._rng.integers(0, 2))
+                    promoted = srt[offset::2]
+                    leftover = buf[n:]
+                    self._levels[i] = leftover
+                    if i + 1 == len(self._levels):
+                        self._levels.append(
+                            np.empty((0, buf.shape[1]), dtype=np.float64)
+                        )
+                    self._levels[i + 1] = np.concatenate(
+                        [self._levels[i + 1], promoted], axis=0
+                    )
+                    break
+            else:  # no level exceeded capacity: done
+                return
+
+    # -- public API ------------------------------------------------------
 
     def add(self, a: np.ndarray) -> None:
         a = _flatten_channels_last(a)
         n = a.shape[0]
         if n == 0:
             return
-        if self._reservoir is None:
-            self._reservoir = np.empty((self.r, a.shape[1]), dtype=np.float64)
+        if self._sum is None:
             self._sum = np.zeros(a.shape[1], dtype=np.float64)
-
+            self._levels = [np.empty((0, a.shape[1]), dtype=np.float64)]
         self._sum += a.sum(axis=0)
-
-        # Fill phase.
-        take = min(self.r - self._filled, n)
-        if take > 0:
-            self._reservoir[self._filled : self._filled + take] = a[:take]
-            self._filled += take
-        # Replacement phase (vectorized reservoir sampling).
-        rest = a[take:]
-        if rest.shape[0] > 0:
-            total_before = self.count + take
-            positions = (
-                self._rng.random(rest.shape[0])
-                * (total_before + 1 + np.arange(rest.shape[0]))
-            ).astype(np.int64)
-            keep = positions < self.r
-            idx = positions[keep]
-            self._reservoir[idx] = rest[keep]
         self.count += n
+        for start in range(0, n, self._chunk):
+            self._levels[0] = np.concatenate(
+                [self._levels[0], a[start : start + self._chunk]], axis=0
+            )
+            self._compress()
 
     def quantiles(self, q: T.Union[float, T.Sequence[float]]) -> np.ndarray:
-        data = self._reservoir[: self._filled]
-        return np.quantile(data, q, axis=0)
+        """Per-channel weighted quantiles over all compactor levels."""
+        q_arr = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        values = np.concatenate(self._levels, axis=0)  # (n, C)
+        weights = np.concatenate(
+            [
+                np.full(buf.shape[0], 2.0**i, dtype=np.float64)
+                for i, buf in enumerate(self._levels)
+            ]
+        )
+        n, C = values.shape
+        out = np.empty((len(q_arr), C), dtype=np.float64)
+        for c in range(C):
+            order = np.argsort(values[:, c], kind="stable")
+            v = values[order, c]
+            w = weights[order]
+            cum = np.cumsum(w)
+            # midpoint positions (weighted analogue of linear interpolation)
+            pos = (cum - 0.5 * w) / cum[-1]
+            out[:, c] = np.interp(q_arr, pos, v, left=v[0], right=v[-1])
+        result = out if np.ndim(q) else out[0]
+        return result
 
     def median(self) -> np.ndarray:
         return self.quantiles(0.5)
@@ -202,20 +254,24 @@ class Quantile(Stat):
         return self._sum / max(self.count, 1)
 
     def state_dict(self):
-        return {
+        state = {
             "r": np.asarray(self.r),
             "count": np.asarray(self.count),
-            "reservoir": self._reservoir,
-            "filled": np.asarray(self._filled),
+            "num_levels": np.asarray(len(self._levels)),
             "sum": self._sum,
         }
+        for i, buf in enumerate(self._levels):
+            state[f"level_{i}"] = buf
+        return state
 
     def load_state_dict(self, state):
         self.r = int(state["r"])
         self.count = int(state["count"])
-        self._reservoir = np.asarray(state["reservoir"])
-        self._filled = int(state["filled"])
         self._sum = np.asarray(state["sum"])
+        self._levels = [
+            np.asarray(state[f"level_{i}"])
+            for i in range(int(state["num_levels"]))
+        ]
 
 
 def tally_stats(

@@ -181,3 +181,35 @@ def test_dataset_augmentation_probability(tmp_path):
         ):
             changed += 1
     assert changed >= 1
+
+
+def test_kll_sketch_accuracy_and_state():
+    """KLL sketch: rank error stays bounded on long, drifting streams
+    (where a uniform reservoir's variance grows), and state round-trips."""
+    rng = np.random.default_rng(5)
+    q = Quantile(r=1024, seed=1)
+    # 400k items with distribution drift across the stream
+    chunks = []
+    for i in range(20):
+        chunk = rng.normal(loc=i * 0.1, scale=1.0, size=(20_000, 3))
+        chunks.append(chunk)
+        q.add(chunk)
+    data = np.concatenate(chunks)
+
+    for prob, tol in [(0.05, 0.05), (0.5, 0.05), (0.95, 0.05)]:
+        est = q.quantiles(prob)
+        # compare by RANK error (the KLL guarantee), not value error
+        for c in range(3):
+            rank = (data[:, c] <= est[c]).mean()
+            assert abs(rank - prob) < tol, (prob, c, rank)
+
+    # vector query shape + monotonicity
+    qs = q.quantiles([0.05, 0.5, 0.95])
+    assert qs.shape == (3, 3)
+    assert (np.diff(qs, axis=0) >= 0).all()
+
+    # state round-trip preserves estimates exactly
+    q2 = Quantile(r=1024)
+    q2.load_state_dict(q.state_dict())
+    np.testing.assert_allclose(q2.quantiles(0.5), q.quantiles(0.5))
+    np.testing.assert_allclose(q2.mean(), q.mean())

@@ -110,3 +110,35 @@ def jax_leaf(params, *path):
     import jax
 
     return jax.tree_util.tree_leaves(node)[0]
+
+
+def test_auto_lr_find(tmp_path):
+    """auto_lr_find runs an LR sweep instead of training and returns a
+    suggestion (reference model.py:301-305)."""
+    import numpy as np
+
+    from cultionet_tpu.data.datasets import ChipDataset
+    from cultionet_tpu.data.synthetic import create_batch
+
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        create_batch(
+            num_channels=2, num_time=6, height=16, width=16, rng=rng
+        ).to_file(tmp_path / "processed" / f"data_{i:03d}.npz")
+
+    params = CultionetParams(
+        dataset=ChipDataset(tmp_path),
+        batch_size=2,
+        hidden_channels=4,
+        attention_weights=None,
+        dilations=[1],
+        epochs=3,
+        precision="32",
+        auto_lr_find=True,
+    )
+    result = fit(params)
+    assert result.state is None  # no training happened
+    assert len(result.history) >= 10
+    lrs = [row["lr"] for row in result.history]
+    assert all(b >= a for a, b in zip(lrs, lrs[1:]))  # exponential sweep
+    assert result.best_score > 0  # the suggested LR

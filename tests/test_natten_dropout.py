@@ -1,0 +1,139 @@
+"""In-kernel attention dropout: zero-rate exactness (interpret mode on CPU)
+and oracle parity (real TPU only — the Mosaic hardware PRNG has no CPU
+interpreter; the TPU-gated tests below are exercised by scripts/dev and the
+bench/verify drives, and run automatically wherever a TPU is attached)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cultionet_tpu.ops.natten import neighborhood_attention_2d
+from cultionet_tpu.ops.natten_pallas import na2d_fused_dropout, na2d_pallas
+
+ON_TPU = jax.devices()[0].platform == "tpu"
+
+
+def make_qkv(rng, batch=2, h=10, w=12, heads=2, dim=4):
+    shape = (batch, h, w, heads, dim)
+    return tuple(
+        jnp.asarray(rng.normal(size=shape), dtype=jnp.float32)
+        for _ in range(3)
+    )
+
+
+def test_zero_rate_matches_plain():
+    rng = np.random.default_rng(0)
+    q, k, v = make_qkv(rng)
+    base = na2d_pallas(q, k, v, 3, 1, interpret=True)
+    dropped = na2d_fused_dropout(q, k, v, jnp.int32(7), 3, 1, 0.0, True)
+    np.testing.assert_allclose(
+        np.asarray(base), np.asarray(dropped), atol=1e-6
+    )
+
+
+def _extract_masks(shape, seed, p, kernel_size=3):
+    """Recover the kernel's dropout mask field via 9 comb probes: with
+    q=k=0 the weights are uniform 1/9, so out(p) = m_j(p)/(9(1-p)) when v
+    is a period-3 comb hitting exactly one window slot per pixel."""
+    B, h, w, N, D = shape
+    zeros = jnp.zeros(shape, jnp.float32)
+    c = 1.0 / (1.0 - p)
+
+    def nbr_start(i, n):
+        return min(max(i - 1, 0), n - 3)
+
+    M = np.zeros((B, h, w, N, 9), np.float32)
+    f = jax.jit(
+        lambda v: na2d_fused_dropout(zeros, zeros, v, seed, 3, 1, p, False)
+    )
+    for a in range(3):
+        for b in range(3):
+            v = np.zeros(shape, np.float32)
+            v[:, a::3, b::3, :, :] = 1.0
+            out = np.asarray(jax.device_get(f(jnp.asarray(v))))[..., 0]
+            for r in range(h):
+                sr = nbr_start(r, h)
+                for cc in range(w):
+                    sc = nbr_start(cc, w)
+                    rr = sr + ((a - sr) % 3)
+                    ccn = sc + ((b - sc) % 3)
+                    j = (rr - sr) * 3 + (ccn - sc)
+                    M[:, r, cc, :, j] = out[:, r, cc, :] * 9.0 / c
+    return M
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic PRNG requires a real TPU")
+def test_seed_determinism_and_variation():
+    rng = np.random.default_rng(1)
+    q, k, v = make_qkv(rng)
+    out_a = na2d_fused_dropout(q, k, v, jnp.int32(3), 3, 1, 0.3, False)
+    out_b = na2d_fused_dropout(q, k, v, jnp.int32(3), 3, 1, 0.3, False)
+    out_c = na2d_fused_dropout(q, k, v, jnp.int32(4), 3, 1, 0.3, False)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    assert np.abs(np.asarray(out_a) - np.asarray(out_c)).max() > 1e-6
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic PRNG requires a real TPU")
+def test_dropout_matches_explicit_mask_oracle():
+    """Value AND gradient parity against the XLA NA with the kernel's own
+    (comb-extracted) mask field applied through the weights hook."""
+    shape = (2, 10, 12, 2, 4)
+    seed = jnp.int32(11)
+    p = 0.3
+    M = _extract_masks(shape, seed, p)
+    assert set(np.unique(M.round(2))) <= {0.0, 1.0}
+    drop_rate = 1.0 - M.mean()
+    assert abs(drop_rate - p) < 0.05
+
+    Mj = jnp.asarray(M / (1.0 - p))
+
+    def oracle(q_, k_, v_):
+        return neighborhood_attention_2d(
+            q_, k_, v_, 3, 1, weights_fn=lambda wgt: wgt * Mj
+        )
+
+    rng = np.random.default_rng(1)
+    q, k, v = make_qkv(rng)
+    g = jnp.asarray(rng.normal(size=shape), dtype=jnp.float32)
+
+    out_k = np.asarray(
+        jax.device_get(na2d_fused_dropout(q, k, v, seed, 3, 1, p, False))
+    )
+    out_o = np.asarray(jax.device_get(oracle(q, k, v)))
+    # Mosaic fast transcendentals give the banded kernels ~1e-2 absolute
+    # f32 precision on real TPUs (the base no-dropout kernel measures the
+    # same vs XLA); far below the bf16 training noise floor.
+    np.testing.assert_allclose(out_k, out_o, atol=3e-2)
+
+    gk = jax.grad(
+        lambda a, b, c: jnp.sum(
+            na2d_fused_dropout(a, b, c, seed, 3, 1, p, False) * g
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    go = jax.grad(
+        lambda a, b, c: jnp.sum(oracle(a, b, c) * g), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b in zip(gk, go):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)),
+            np.asarray(jax.device_get(b)),
+            atol=5e-2,
+        )
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic PRNG requires a real TPU")
+def test_dropout_is_unbiased():
+    rng = np.random.default_rng(2)
+    q, k, v = make_qkv(rng, batch=1, h=8, w=8)
+    base = np.asarray(jax.device_get(na2d_pallas(q, k, v, 3, 1)))
+    acc = np.zeros_like(base)
+    n = 48
+    f = jax.jit(
+        lambda s: na2d_fused_dropout(q, k, v, s, 3, 1, 0.25, False)
+    )
+    for s in range(n):
+        acc += np.asarray(jax.device_get(f(jnp.int32(100 + s))))
+    err = np.abs(acc / n - base).mean()
+    assert err / (np.abs(base).mean() + 1e-6) < 0.15
