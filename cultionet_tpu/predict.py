@@ -9,8 +9,9 @@ the final raster is the weight-normalized sum — seam-free and fully
 accelerator-resident until the single final host transfer.
 
 Output raster parity: 3 bands (distance, edge, crop) x 10000 as uint16
-(reference callbacks.py:85-107, 220), written as .npz; a GeoTIFF writer is
-used when rasterio is importable.
+GeoTIFF with CRS + affine transform (reference callbacks.py:85-107, 220) —
+via rasterio when importable, else the pure-python codec
+(data/tiny_tiff.py) plus an npz sidecar.
 """
 
 import typing as T
@@ -278,7 +279,12 @@ class ScenePredictor:
                 with rasterio.open(out_path, "w", **profile) as dst:
                     dst.write(packed)
             except ImportError:
-                out_path = out_path.with_suffix(".npz")
+                # No rasterio: write a REAL 3-band GeoTIFF with the
+                # pure-python codec, plus an npz sidecar (compact container
+                # with band names + geo metadata for numpy consumers).
+                from .data.tiny_tiff import write_tiff
+
+                write_tiff(out_path, packed, bounds=bounds, crs=crs)
                 extras = {}
                 if bounds is not None:
                     extras["bounds"] = np.asarray(bounds, dtype="float64")
@@ -288,7 +294,7 @@ class ScenePredictor:
                 if crs is not None:
                     extras["crs"] = np.asarray(str(crs))
                 np.savez_compressed(
-                    out_path,
+                    out_path.with_suffix(".npz"),
                     raster=packed,
                     band_names=np.asarray([str(b) for b in BAND_NAMES]),
                     **extras,

@@ -1,0 +1,139 @@
+"""GeoTIFF ingestion without GDAL: pure-python codec round-trips and the
+<region>/<variable>/<date>.tif time-series path, exercised end to end
+through chip creation (VERDICT item: the tif path must run in CI)."""
+
+import numpy as np
+import pytest
+
+from cultionet_tpu.data.geotiff import (
+    read_tiff_band,
+    read_time_series,
+    write_geotiff,
+)
+from cultionet_tpu.data.tiny_tiff import read_tiff, write_tiff
+
+BOUNDS = (500000.0, 4100000.0, 500640.0, 4100480.0)  # 10 m pixels, 64x48
+
+
+@pytest.mark.parametrize(
+    "dtype", ["uint8", "uint16", "int16", "int32", "float32", "float64"]
+)
+def test_tiny_tiff_roundtrip_dtypes(tmp_path, dtype):
+    rng = np.random.default_rng(0)
+    if np.issubdtype(np.dtype(dtype), np.integer):
+        arr = rng.integers(
+            np.iinfo(dtype).min // 2,
+            np.iinfo(dtype).max // 2,
+            size=(48, 64),
+        ).astype(dtype)
+    else:
+        arr = rng.normal(size=(48, 64)).astype(dtype)
+    path = write_tiff(tmp_path / "x.tif", arr, bounds=BOUNDS, crs="EPSG:32633")
+    back, bounds, cell_res, crs = read_tiff(path)
+    np.testing.assert_array_equal(back, arr)
+    np.testing.assert_allclose(bounds, BOUNDS)
+    assert cell_res == pytest.approx(10.0)
+    assert crs == "EPSG:32633"
+
+
+def test_tiny_tiff_multiband_and_geographic_crs(tmp_path):
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 10000, size=(3, 32, 40)).astype("uint16")
+    path = write_tiff(
+        tmp_path / "multi.tif", arr, bounds=(8.0, 44.0, 9.0, 45.0),
+        crs="EPSG:4326",
+    )
+    back, bounds, _, crs = read_tiff(path)
+    assert back.shape == (3, 32, 40)
+    np.testing.assert_array_equal(back, arr)
+    assert crs == "EPSG:4326"
+
+    # write_geotiff fallback goes through the same codec
+    out = write_geotiff(
+        tmp_path / "o.tif", arr, bounds=(8.0, 44.0, 9.0, 45.0),
+        crs="EPSG:4326",
+    )
+    back2, *_ = read_tiff_band(out) if back.ndim == 2 else read_tiff(out)
+    np.testing.assert_array_equal(np.asarray(back2), arr)
+
+
+def _write_region(tmp_path, dates, variables=("evi2", "gcvi"), hw=(24, 32)):
+    rng = np.random.default_rng(2)
+    region = tmp_path / "000001"
+    for var in variables:
+        for date in dates:
+            arr = rng.integers(0, 10000, size=hw).astype("int16")
+            write_tiff(
+                region / var / f"{date}.tif",
+                arr,
+                bounds=BOUNDS,
+                crs="EPSG:32633",
+            )
+    return region
+
+
+def test_read_time_series_from_tifs(tmp_path):
+    region = _write_region(tmp_path, ["20210115", "20210215", "20210315"])
+    x, bounds, cell_res, crs = read_time_series(region)
+    assert x.shape == (3, 24, 32, 2)  # (T, H, W, C)
+    np.testing.assert_allclose(bounds, BOUNDS)
+    assert crs == "EPSG:32633"
+
+
+def test_read_time_series_date_window(tmp_path):
+    region = _write_region(
+        tmp_path,
+        ["20201115", "20210115", "20210215", "20210815"],
+    )
+    # season Dec(prev year) .. July: keeps Jan + Feb only
+    x, *_ = read_time_series(
+        region, end_year=2021, start_mmdd="12-01", end_mmdd="07-31"
+    )
+    assert x.shape[0] == 2
+
+
+def test_create_chips_from_tif_region(tmp_path):
+    """End-to-end: tif time series -> load_scene -> train chip on disk."""
+    from cultionet_tpu.data.create import create_train_batch
+    from cultionet_tpu.scripts.cli import load_scene
+
+    region = _write_region(
+        tmp_path / "project" / "time_series_vars",
+        ["20210115", "20210215", "20210315"],
+        hw=(32, 32),
+    )
+    # polygons in world coordinates (10 m pixels from BOUNDS)
+    import json
+
+    poly = [
+        [
+            [
+                [BOUNDS[0] + 50.0, BOUNDS[3] - 50.0],
+                [BOUNDS[0] + 150.0, BOUNDS[3] - 50.0],
+                [BOUNDS[0] + 150.0, BOUNDS[3] - 150.0],
+                [BOUNDS[0] + 50.0, BOUNDS[3] - 150.0],
+                [BOUNDS[0] + 50.0, BOUNDS[3] - 50.0],
+            ],
+            1,
+        ]
+    ]
+    (region / "polygons.json").write_text(json.dumps(poly))
+
+    x, bounds, cell_res, crs, polygons = load_scene(region)
+    assert x.shape == (3, 32, 32, 2)
+    assert crs == "EPSG:32633"
+    assert polygons is not None
+
+    out = create_train_batch(
+        image_time_series=x,
+        polygons=polygons,
+        bounds=bounds,
+        cell_res=cell_res,
+        region=region.name,
+        process_path=tmp_path / "processed",
+    )
+    assert out is not None and out.exists()
+    from cultionet_tpu.data.batch import Batch
+
+    chip = Batch.from_file(out)
+    assert chip.y is not None and int(np.asarray(chip.y).max()) >= 1

@@ -127,7 +127,15 @@ def test_predict_raster_georeferencing(tmp_path):
             assert src.transform.a == pytest.approx(10.0)
             assert src.transform.e == pytest.approx(-10.0)
     except ImportError:
-        data = np.load(out)
+        # pure-python fallback: a real 3-band GeoTIFF + npz sidecar
+        from cultionet_tpu.data.tiny_tiff import read_tiff
+
+        raster, tif_bounds, cell_res, tif_crs = read_tiff(out)
+        assert raster.shape == (3, 40, 60) and raster.dtype == np.uint16
+        np.testing.assert_allclose(tif_bounds, bounds)
+        assert cell_res == pytest.approx(10.0)
+        assert tif_crs == "EPSG:32633"
+        data = np.load(out.with_suffix(".npz"))
         assert data["raster"].shape == (3, 40, 60)
         np.testing.assert_allclose(data["bounds"], bounds)
         # transform: (res_x, 0, left, 0, -res_y, top)
