@@ -99,13 +99,25 @@ def log_command(ppaths: ProjectPaths, args: argparse.Namespace) -> None:
     )
 
 
+def read_project_config(ppaths: ProjectPaths) -> dict:
+    """Optional <project>/config.yml: image_vis, region lists, seasonal
+    window (reference scripts/config.yml + open_config, cultionet.py:43)."""
+    cfg_file = Path(ppaths.project_path) / "config.yml"
+    if not cfg_file.is_file():
+        return {}
+    loaded = yaml.safe_load(cfg_file.read_text()) or {}
+    return loaded if isinstance(loaded, dict) else {}
+
+
 def load_scene(
     region_path: Path,
+    window: T.Optional[dict] = None,
 ) -> T.Tuple[np.ndarray, tuple, float, T.Optional[str], T.Optional[list]]:
-    """Load a region scene: scene.npz (+ polygons.json). Falls back to a
-    rasterio GeoTIFF reader when available (data/geotiff.py). ``crs`` is
-    an optional scene.npz entry (e.g. "EPSG:32633") propagated to the
-    output raster profile at predict time."""
+    """Load a region scene: scene.npz (+ polygons.json). Falls back to the
+    GeoTIFF time-series reader (data/geotiff.py — rasterio or pure-python).
+    ``crs`` (e.g. "EPSG:32633") propagates to the output raster profile at
+    predict time; ``window`` carries the seasonal tif window
+    (end_year/start_mmdd/end_mmdd/num_months) when reading from tifs."""
     scene_file = region_path / "scene.npz"
     crs = None
     if scene_file.is_file():
@@ -118,7 +130,9 @@ def load_scene(
     else:
         from ..data.geotiff import read_time_series
 
-        x, bounds, cell_res, crs = read_time_series(region_path)
+        x, bounds, cell_res, crs = read_time_series(
+            region_path, **(window or {})
+        )
 
     polygons = None
     poly_file = region_path / "polygons.json"
@@ -181,8 +195,14 @@ def create_dataset(args: argparse.Namespace) -> None:
     log_command(ppaths, args)
     write_classes_info(ppaths, args.max_crop_class)
 
-    for region_path in iter_regions(ppaths, args.regions):
-        x, bounds, cell_res, _, polygons = load_scene(region_path)
+    config = read_project_config(ppaths)
+    window = _season_window(args, config)
+    for region_path in iter_regions(
+        ppaths, args.regions or config.get("regions")
+    ):
+        x, bounds, cell_res, _, polygons = load_scene(
+            region_path, window=window
+        )
         out = create_train_batch(
             image_time_series=x,
             polygons=polygons,
@@ -203,12 +223,32 @@ def create_dataset(args: argparse.Namespace) -> None:
             logger.info(f"{region_path.name}: wrote {out.name}")
 
 
+def _season_window(args: argparse.Namespace, config: dict) -> T.Optional[dict]:
+    """Seasonal tif window from CLI flags, else project config.yml."""
+    end_year = getattr(args, "end_year", None)
+    start_mmdd = getattr(args, "start_mmdd", None) or config.get("start_mmdd")
+    end_mmdd = getattr(args, "end_mmdd", None) or config.get("end_mmdd")
+    num_months = getattr(args, "num_months", None) or config.get("num_months")
+    if end_year is None and str(getattr(args, "end_date", "")).count("-") == 2:
+        end_year = int(str(args.end_date)[:4])
+    if end_year is None or not (start_mmdd and end_mmdd):
+        return None
+    return dict(
+        end_year=int(end_year),
+        start_mmdd=str(start_mmdd),
+        end_mmdd=str(end_mmdd),
+        num_months=None if num_months is None else int(num_months),
+    )
+
+
 def create_predict(args: argparse.Namespace) -> None:
     ppaths = setup_paths(args.project_path)
     log_command(ppaths, args)
 
-    for region_path in iter_regions(ppaths, args.regions):
-        x, bounds, _, _, _ = load_scene(region_path)
+    config = read_project_config(ppaths)
+    window = _season_window(args, config)
+    for region_path in iter_regions(ppaths, args.regions or config.get("regions")):
+        x, bounds, _, _, _ = load_scene(region_path, window=window)
         paths = create_predict_dataset(
             image_time_series=x,
             region=region_path.name,

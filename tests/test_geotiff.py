@@ -137,3 +137,58 @@ def test_create_chips_from_tif_region(tmp_path):
 
     chip = Batch.from_file(out)
     assert chip.y is not None and int(np.asarray(chip.y).max()) >= 1
+
+
+def test_cli_create_from_tif_project_with_config(tmp_path):
+    """CLI `create` over a tif-region project with a config.yml seasonal
+    window — the reference's config-driven flow (scripts/cultionet.py:43,
+    config.yml) without GDAL."""
+    import json
+    import subprocess
+    import sys
+
+    project = tmp_path / "project"
+    region = _write_region(
+        project / "time_series_vars",
+        ["20201215", "20210115", "20210215", "20210915"],
+        hw=(32, 32),
+    )
+    poly = [
+        [
+            [
+                [BOUNDS[0] + 50.0, BOUNDS[3] - 50.0],
+                [BOUNDS[0] + 150.0, BOUNDS[3] - 50.0],
+                [BOUNDS[0] + 150.0, BOUNDS[3] - 150.0],
+                [BOUNDS[0] + 50.0, BOUNDS[3] - 150.0],
+                [BOUNDS[0] + 50.0, BOUNDS[3] - 50.0],
+            ],
+            1,
+        ]
+    ]
+    (region / "polygons.json").write_text(json.dumps(poly))
+    (project / "config.yml").write_text(
+        "start_mmdd: '12-01'\nend_mmdd: '07-31'\nnum_months: 12\n"
+    )
+
+    result = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "cultionet_tpu",
+            "create",
+            "-p",
+            str(project),
+            "--end-year",
+            "2021",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert result.returncode == 0, result.stderr
+    chips = list((project / "data" / "train" / "processed").glob("*.npz"))
+    assert len(chips) == 1
+    from cultionet_tpu.data.batch import Batch
+
+    chip = Batch.from_file(chips[0])
+    # Dec + Jan + Feb inside the window; September excluded
+    assert chip.num_time == 3
