@@ -62,6 +62,7 @@ class CultionetParams:
     epochs: int = 100
     accumulate_grad_batches: int = 1
     gradient_clip_val: T.Optional[float] = 1.0
+    gradient_clip_algorithm: str = "norm"
     precision: str = "16-mixed"  # -> bf16 on TPU
     scale_pos_weight: bool = False
     save_batch_val_metrics: bool = False

@@ -204,26 +204,36 @@ class ChipDataset:
         self,
         expected_time: T.Optional[int] = None,
         expected_channels: T.Optional[int] = None,
+        expected_height: T.Optional[int] = None,
+        expected_width: T.Optional[int] = None,
         num_workers: int = 4,
         delete_mismatches: bool = False,
     ) -> T.List[Path]:
         """Parallel shape audit (reference datasets.py:274-367). Returns the
-        mismatching files (optionally deleting them)."""
+        mismatching files (optionally deleting them). Height/width are only
+        checked when explicitly expected (reference expected_height/width
+        args); time/channels default to the first readable chip."""
         ref_time = expected_time
         ref_channels = expected_channels
 
         def audit(path: Path):
             try:
                 batch = self.load_file(path)
-                return path, batch.num_time, batch.num_channels
+                return (
+                    path,
+                    batch.num_time,
+                    batch.num_channels,
+                    batch.height,
+                    batch.width,
+                )
             except Exception:
-                return path, -1, -1
+                return path, -1, -1, -1, -1
 
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
             results = list(pool.map(audit, self.files))
 
         if ref_time is None or ref_channels is None:
-            for _, t, c in results:
+            for _, t, c, _, _ in results:
                 if t > 0:
                     ref_time = ref_time or t
                     ref_channels = ref_channels or c
@@ -231,8 +241,10 @@ class ChipDataset:
 
         mismatched = [
             path
-            for path, t, c in results
+            for path, t, c, h, w in results
             if (t, c) != (ref_time, ref_channels)
+            or (expected_height is not None and h != expected_height)
+            or (expected_width is not None and w != expected_width)
         ]
         if mismatched and delete_mismatches:
             for path in mismatched:

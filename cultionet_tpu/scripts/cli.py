@@ -197,6 +197,10 @@ def create_dataset(args: argparse.Namespace) -> None:
 
     config = read_project_config(ppaths)
     window = _season_window(args, config)
+    if getattr(args, "delete_dataset", False):
+        import shutil
+
+        shutil.rmtree(ppaths.process_path, ignore_errors=True)
     for region_path in iter_regions(
         ppaths, args.regions or config.get("regions")
     ):
@@ -212,6 +216,8 @@ def create_dataset(args: argparse.Namespace) -> None:
             process_path=ppaths.process_path,
             start_date=args.start_date,
             end_date=args.end_date,
+            gain=getattr(args, "gain", 1e-4),
+            offset=getattr(args, "offset", 0.0),
             max_crop_class=args.max_crop_class,
             keep_crop_classes=args.keep_crop_classes,
             nonag_is_unknown=args.nonag_is_unknown,
@@ -276,7 +282,10 @@ def _build_params(
         val_frac=args.val_frac,
         spatial_partitions=("spatial" if args.spatial_partitions else None),
         batch_size=args.batch_size,
-        edge_class=class_info["edge_class"],
+        load_batch_workers=getattr(args, "load_batch_workers", 2),
+        edge_class=(
+            getattr(args, "edge_class", None) or class_info["edge_class"]
+        ),
         hidden_channels=args.hidden_channels,
         activation_type=args.activation_type,
         dropout=args.dropout,
@@ -295,6 +304,10 @@ def _build_params(
         epochs=args.epochs,
         accumulate_grad_batches=args.accumulate_grad_batches,
         gradient_clip_val=args.gradient_clip_val,
+        gradient_clip_algorithm=getattr(
+            args, "gradient_clip_algorithm", "norm"
+        ),
+        steplr_step_size=getattr(args, "steplr_step_size", 5),
         precision=args.precision,
         devices=args.devices,
         augment_prob=args.augment_prob,
@@ -304,6 +317,17 @@ def _build_params(
         reset_model=args.reset_model,
         skip_train=args.skip_train,
         stochastic_weight_averaging=args.stochastic_weight_averaging,
+        stochastic_weight_averaging_lr=getattr(
+            args, "stochastic_weight_averaging_lr", 0.05
+        ),
+        stochastic_weight_averaging_start=getattr(
+            args, "stochastic_weight_averaging_start", 0.8
+        ),
+        model_type=getattr(args, "model_type", "TowerUNet"),
+        model_pruning=getattr(args, "model_pruning", False),
+        save_batch_val_metrics=getattr(
+            args, "save_batch_val_metrics", False
+        ),
         auto_lr_find=getattr(args, "auto_lr_find", False),
         scale_pos_weight=getattr(args, "scale_pos_weight", False),
         fsdp=getattr(args, "fsdp", False),
@@ -313,11 +337,17 @@ def _build_params(
 
 
 def _norm_values(
-    ppaths: ProjectPaths, dataset: ChipDataset, batch_size: int
+    ppaths: ProjectPaths,
+    dataset: ChipDataset,
+    batch_size: int,
+    recalc: bool = False,
 ) -> NormValues:
     norm_path = Path(str(ppaths.norm_file) + ".npz")
     if norm_path.is_file():
-        return NormValues.from_file(norm_path)
+        if recalc:
+            norm_path.unlink()
+        else:
+            return NormValues.from_file(norm_path)
     class_info = read_classes_info(ppaths)
     loader = ChipLoader(dataset, batch_size=batch_size)
     norm = NormValues.from_dataset(loader, class_info=class_info)
@@ -339,7 +369,28 @@ def train_model(args: argparse.Namespace, transfer: bool = False) -> None:
         raise FileNotFoundError(
             f"No training chips under {ppaths.process_path}"
         )
-    norm = _norm_values(ppaths, dataset, args.batch_size)
+    if (
+        getattr(args, "expected_time", None) is not None
+        or getattr(args, "expected_height", None) is not None
+        or getattr(args, "expected_width", None) is not None
+        or getattr(args, "delete_mismatches", False)
+    ):
+        bad = dataset.check_dims(
+            expected_time=getattr(args, "expected_time", None),
+            expected_height=getattr(args, "expected_height", None),
+            expected_width=getattr(args, "expected_width", None),
+            delete_mismatches=getattr(args, "delete_mismatches", False),
+        )
+        if bad:
+            logger.warning(f"Removed {len(bad)} mismatched chips")
+    if getattr(args, "log_transform", False):
+        dataset.log_transform = True
+    norm = _norm_values(
+        ppaths,
+        dataset,
+        args.batch_size,
+        recalc=getattr(args, "recalc_zscores", False),
+    )
     dataset.norm_values = norm
 
     params = _build_params(args, ppaths, dataset)

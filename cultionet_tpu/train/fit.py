@@ -183,6 +183,7 @@ def _build_tx(
         weight_decay=params.weight_decay,
         eps=params.eps,
         gradient_clip_val=params.gradient_clip_val,
+        gradient_clip_algorithm=params.gradient_clip_algorithm,
         accumulate_grad_batches=params.accumulate_grad_batches,
     )
     if frozen_mask is not None:

@@ -73,6 +73,7 @@ def build_optimizer(
     weight_decay: float = 1e-4,
     eps: float = 1e-4,
     gradient_clip_val: T.Optional[float] = None,
+    gradient_clip_algorithm: str = "norm",
     accumulate_grad_batches: int = 1,
 ) -> optax.GradientTransformation:
     if optimizer == "Adam":
@@ -101,7 +102,14 @@ def build_optimizer(
         raise NameError("Choose 'Adam', 'AdamW', 'RAdam', or 'SGD'.")
 
     if gradient_clip_val is not None:
-        tx = optax.chain(optax.clip_by_global_norm(gradient_clip_val), tx)
+        # 'norm' = global-norm clip (Lightning default); 'value' = per-
+        # element clamp (reference gradient_clip_algorithm, args.yml).
+        clip = (
+            optax.clip(gradient_clip_val)
+            if gradient_clip_algorithm == "value"
+            else optax.clip_by_global_norm(gradient_clip_val)
+        )
+        tx = optax.chain(clip, tx)
 
     if accumulate_grad_batches > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
