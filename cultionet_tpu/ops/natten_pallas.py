@@ -46,6 +46,9 @@ Array = jax.Array
 
 LN_EPS = 1e-6
 
+# Backward (and dropout-forward) band size; see na2d_pallas/na2d_pallas_bwd.
+_BWD_BAND_PX = 2048
+
 
 # ---------------------------------------------------------------------------
 # Packing plan: lanes, bands, padding.
@@ -82,8 +85,9 @@ class _Plan(T.NamedTuple):
         """Backward dk/dv strategy: when the full (halo-padded) kv plane fits
         comfortably in VMEM, accumulate it in the revisited output block
         across the sequential band grid (zero at band 0) instead of emitting
-        per-band partials for a host-graph overlap-add."""
-        return 2 * self.kv_px * self.lanes * 4 <= 24 * 1024 * 1024
+        per-band partials for a host-graph overlap-add. 16 MB cap: at 24 MB
+        the C=256 backward brushed the 110 MB scoped-vmem ceiling."""
+        return 2 * self.kv_px * self.lanes * 4 <= 16 * 1024 * 1024
 
 
 def _make_plan(
@@ -660,8 +664,12 @@ def na2d_pallas(
             q, k, v, kernel_size, dilation, weights_fn=weights_fn
         )
 
+    # With dropout the forward MUST use the backward's banding: masks are
+    # drawn per (batch-group, band) program, so fwd/bwd band partitions
+    # must coincide for the backward to redraw the same mask per pixel.
     plan = _make_plan(
-        batch, height, width, num_heads, head_dim, kernel_size, dilation
+        batch, height, width, num_heads, head_dim, kernel_size, dilation,
+        target_band_px=_BWD_BAND_PX if attn_drop > 0 else 4096,
     )
     qf = _query_flat(_to_lanes(q, plan), plan)
     kf = _kv_flat(_to_lanes(k, plan), plan)
@@ -780,11 +788,13 @@ def na2d_pallas_bwd(
         )
         return vjp(g)
 
-    # Smaller bands than the forward: the backward's adjoint accumulators and
-    # kv-plane output blocks leave less VMEM headroom for per-band temps.
+    # Smaller bands than the no-dropout forward: the backward's adjoint
+    # accumulators and kv-plane output blocks leave less VMEM headroom for
+    # per-band temps. MUST stay equal to the dropout forward's banding
+    # (mask streams are seeded per band program).
     plan = _make_plan(
         batch, height, width, num_heads, head_dim, kernel_size, dilation,
-        target_band_px=2048,
+        target_band_px=_BWD_BAND_PX,
     )
     qf = _query_flat(_to_lanes(q, plan), plan)
     gf = _query_flat(_to_lanes(g, plan), plan)

@@ -137,3 +137,51 @@ def test_dropout_is_unbiased():
         acc += np.asarray(jax.device_get(f(jnp.int32(100 + s))))
     err = np.abs(acc / n - base).mean()
     assert err / (np.abs(base).mean() + 1e-6) < 0.15
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic PRNG requires a real TPU")
+def test_dropout_gradients_multi_band():
+    """Regression: masks are seeded per (batch-group, band) program, so the
+    forward and backward banding must coincide. At (40, 100) the kernels
+    span multiple row bands — gradients must still match the oracle built
+    from the kernel's own extracted mask field."""
+    shape = (1, 40, 100, 1, 8)
+    seed = jnp.int32(21)
+    p = 0.3
+    M = _extract_masks(shape, seed, p)
+    assert set(np.unique(M.round(2))) <= {0.0, 1.0}
+    Mj = jnp.asarray(M / (1.0 - p))
+
+    def oracle(q_, k_, v_):
+        return neighborhood_attention_2d(
+            q_, k_, v_, 3, 1, weights_fn=lambda wgt: wgt * Mj
+        )
+
+    rng = np.random.default_rng(6)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=shape), dtype=jnp.float32)
+        for _ in range(3)
+    )
+    g = jnp.asarray(rng.normal(size=shape), dtype=jnp.float32)
+
+    out_k = np.asarray(
+        jax.device_get(na2d_fused_dropout(q, k, v, seed, 3, 1, p, False))
+    )
+    out_o = np.asarray(jax.device_get(oracle(q, k, v)))
+    np.testing.assert_allclose(out_k, out_o, atol=3e-2)
+
+    gk = jax.grad(
+        lambda a, b, c: jnp.sum(
+            na2d_fused_dropout(a, b, c, seed, 3, 1, p, False) * g
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    go = jax.grad(
+        lambda a, b, c: jnp.sum(oracle(a, b, c) * g), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b in zip(gk, go):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)),
+            np.asarray(jax.device_get(b)),
+            atol=5e-2,
+        )
