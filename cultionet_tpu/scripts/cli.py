@@ -134,14 +134,13 @@ def load_scene(
             region_path, **(window or {})
         )
 
-    polygons = None
-    poly_file = region_path / "polygons.json"
-    if poly_file.is_file():
-        raw = json.loads(poly_file.read_text())
-        polygons = [
-            (np.asarray(ring, dtype="float64"), int(value))
-            for ring, value in raw
-        ]
+    from ..data.vector import read_region_polygons
+
+    polygons = read_region_polygons(
+        region_path,
+        bounds=bounds,
+        project_path=region_path.parent.parent,
+    )
     return x, bounds, cell_res, crs, polygons
 
 

@@ -192,3 +192,62 @@ def test_cli_create_from_tif_project_with_config(tmp_path):
     chip = Batch.from_file(chips[0])
     # Dec + Jan + Feb inside the window; September excluded
     assert chip.num_time == 3
+
+
+def test_geojson_polygons_with_project_clip(tmp_path):
+    """GeoJSON FeatureCollections parse without GDAL, and a project-wide
+    polygons.geojson is bbox-clipped per region (the reference's per-grid
+    gpd.clip of the shared training layer, scripts/cultionet.py:266)."""
+    import json
+
+    from cultionet_tpu.data.vector import (
+        filter_by_bounds,
+        parse_geojson,
+        read_region_polygons,
+    )
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"crop_class": 2},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]
+                    ],
+                },
+            },
+            {
+                "type": "Feature",
+                "properties": {},
+                "geometry": {
+                    "type": "MultiPolygon",
+                    "coordinates": [
+                        [[[100, 100], [110, 100], [110, 110], [100, 100]]],
+                        [[[200, 200], [210, 200], [210, 210], [200, 200]]],
+                    ],
+                },
+            },
+        ],
+    }
+    shapes = parse_geojson(fc)
+    assert len(shapes) == 3
+    assert shapes[0][1] == 2 and shapes[1][1] == 1
+
+    clipped = filter_by_bounds(shapes, (0.0, 0.0, 50.0, 50.0))
+    assert len(clipped) == 1
+
+    # project-level geojson, clipped per region
+    project = tmp_path / "project"
+    region = project / "time_series_vars" / "000001"
+    region.mkdir(parents=True)
+    (project / "time_series_vars" / "polygons.geojson")  # wrong level: ignored
+    (project / "polygons.geojson").write_text(json.dumps(fc))
+    polys = read_region_polygons(
+        region, bounds=(0.0, 0.0, 50.0, 50.0),
+        project_path=region.parent.parent,
+    )
+    assert polys is not None and len(polys) == 1
+    np.testing.assert_allclose(polys[0][0][0], [0, 0])
