@@ -34,6 +34,7 @@ class CLISteps(StrEnum):
     TRAIN_TRANSFER = "train-transfer"
     PREDICT = "predict"
     PREDICT_TRANSFER = "predict-transfer"
+    IMPORT_TORCH = "import-torch"
     VERSION = "version"
 
 

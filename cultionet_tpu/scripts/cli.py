@@ -56,6 +56,7 @@ SUBCOMMAND_GROUPS = {
     CLISteps.PREDICT: ["shared_project", "shared_dates", "predict"],
     CLISteps.PREDICT_TRANSFER: ["shared_project", "shared_dates", "predict"],
     CLISteps.SKFOLDCV: ["shared_project", "shared_model", "train", "skfoldcv"],
+    CLISteps.IMPORT_TORCH: ["shared_project", "shared_model", "import_torch"],
     CLISteps.VERSION: [],
 }
 
@@ -450,6 +451,104 @@ def predict_image(args: argparse.Namespace, transfer: bool = False) -> None:
     logger.info(f"Wrote {written}")
 
 
+def import_torch(args: argparse.Namespace) -> None:
+    """Convert a reference PyTorch (Lightning) checkpoint into this
+    framework's orbax checkpoint store, ready for `predict` /
+    `train-transfer` (reference load path: model.py:331-404). Model
+    hyperparameters come from the checkpoint's ``hyper_parameters`` when
+    present (Lightning save_hyperparameters, lightning.py:853), else from
+    the CLI model flags."""
+    import numpy as np
+
+    import torch
+
+    from ..data.synthetic import create_batch
+    from ..train.checkpoint import Checkpointer
+    from ..train.optim import build_optimizer
+    from ..train.step import create_train_state
+    from ..utils.torch_params import import_torch_state_dict
+    from .. import models as _models
+
+    ppaths = setup_paths(args.project_path)
+    log_command(ppaths, args)
+
+    ckpt = torch.load(args.torch_ckpt, map_location="cpu", weights_only=False)
+    state_dict = ckpt.get("state_dict", ckpt)
+    hp = dict(ckpt.get("hyper_parameters", {}))
+
+    def pick(name, cli_value, default=None):
+        return hp.get(name, cli_value if cli_value is not None else default)
+
+    attention = (
+        None if args.attention_weights == "none" else args.attention_weights
+    )
+    model_kwargs = dict(
+        in_time=int(pick("in_time", getattr(args, "in_time", None), 12)),
+        hidden_channels=int(
+            pick("hidden_channels", args.hidden_channels, 32)
+        ),
+        dropout=float(pick("dropout", args.dropout, 0.1)),
+        activation_type=str(
+            pick("activation_type", args.activation_type, "SiLU")
+        ),
+        dilations=list(pick("dilations", args.dilations, [1, 2]) or [1, 2]),
+        res_block_type=str(
+            pick("res_block_type", args.res_block_type, "resa")
+        ),
+        attention_weights=pick("attention_weights", attention, "natten"),
+        pool_by_max=bool(pick("pool_by_max", args.pool_by_max, False)),
+        batchnorm_first=bool(
+            pick("batchnorm_first", args.batchnorm_first, False)
+        ),
+    )
+    in_channels = int(
+        pick("in_channels", getattr(args, "in_channels", None), 3)
+    )
+
+    model = _models.CultioNet(**model_kwargs)
+    init_batch = create_batch(
+        num_channels=in_channels,
+        num_time=model_kwargs["in_time"],
+        height=32,
+        width=32,
+        rng=np.random.default_rng(0),
+    )
+    state = create_train_state(
+        model, build_optimizer("AdamW", 1e-3), init_batch, seed=0
+    )
+
+    prefix = (
+        "cultionet_model."
+        if any(k.startswith("cultionet_model.") for k in state_dict)
+        else ""
+    )
+    new_vars = import_torch_state_dict(
+        state_dict,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        prefix=prefix,
+    )
+    state = state.replace(
+        params=new_vars["params"],
+        batch_stats=new_vars.get("batch_stats", state.batch_stats),
+    )
+
+    ckpt_file = Path(ppaths.ckpt_file)
+    store = Checkpointer(ckpt_file.parent / f"{ckpt_file.stem}_store")
+    hyperparams = {
+        **{
+            k: (list(v) if isinstance(v, (list, tuple)) else v)
+            for k, v in model_kwargs.items()
+        },
+        "in_channels": in_channels,
+    }
+    store.save_best(state, epoch=0, metrics={}, hyperparams=hyperparams)
+    store.save_last(state, epoch=0, metrics={}, hyperparams=hyperparams)
+    logger.info(
+        f"Imported {len(state_dict)} torch entries into "
+        f"{ckpt_file.parent / (ckpt_file.stem + '_store')}"
+    )
+
+
 def spatial_kfoldcv(args: argparse.Namespace) -> None:
     from .. import model as api
 
@@ -487,6 +586,8 @@ def main() -> None:
         create_dataset(args)
     elif args.command == CLISteps.CREATE_PREDICT:
         create_predict(args)
+    elif args.command == CLISteps.IMPORT_TORCH:
+        import_torch(args)
     elif args.command == CLISteps.TRAIN:
         train_model(args)
     elif args.command == CLISteps.TRAIN_TRANSFER:

@@ -74,7 +74,9 @@ def _translate_module(
     norm/param."""
     out: T.List[str] = []
     kind = "param"
-    in_encoder = bool(segs) and segs[0] == "encoder"
+    # 'encoder' may sit below a wrapper scope (CultioNet's 'mask_model.'
+    # prefix for whole-model state_dicts), so search, don't index.
+    in_encoder = "encoder" in segs
     i = 0
     while i < len(segs):
         s = segs[i]
