@@ -57,6 +57,22 @@ def _append_csv(path: Path, row: T.Dict[str, T.Any]) -> None:
         writer.writerow(row)
 
 
+def _append_batch_metrics(ckpt_dir: Path, row: T.Dict[str, T.Any]) -> None:
+    """Append one per-val-batch row to ``batch_metrics.parquet`` (reference
+    lightning.py:512-534: read-concat-write) or ``batch_metrics.csv``."""
+    try:
+        import pandas as pd
+
+        path = ckpt_dir / "batch_metrics.parquet"
+        frame = pd.DataFrame([row])
+        if path.exists():
+            frame = pd.concat([pd.read_parquet(path), frame])
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        frame.to_parquet(path)
+    except (ImportError, OSError):
+        _append_csv(ckpt_dir / "batch_metrics.csv", row)
+
+
 def _mean_metrics(
     rows: T.List[T.Tuple[int, T.Dict[str, jnp.ndarray]]]
 ) -> T.Dict[str, float]:
@@ -461,10 +477,10 @@ def fit(
                 )
             if params.save_batch_val_metrics and params.ckpt_file is not None:
                 # Per-VAL-BATCH rows, the reference's
-                # ``batch_metrics.parquet`` semantics (lightning.py:512-534)
-                # as a dependency-free CSV.
-                _append_csv(
-                    Path(params.ckpt_file).parent / "batch_metrics.csv",
+                # ``batch_metrics.parquet`` (lightning.py:512-534); CSV
+                # fallback when no parquet engine is installed.
+                _append_batch_metrics(
+                    Path(params.ckpt_file).parent,
                     {
                         "epoch": epoch,
                         "batch": batch_idx,

@@ -142,3 +142,37 @@ def test_auto_lr_find(tmp_path):
     lrs = [row["lr"] for row in result.history]
     assert all(b >= a for a, b in zip(lrs, lrs[1:]))  # exponential sweep
     assert result.best_score > 0  # the suggested LR
+
+
+def test_save_batch_val_metrics(tmp_path):
+    """Per-VAL-BATCH metric rows land in batch_metrics.parquet (reference
+    lightning.py:512-534) — one row per val batch per epoch."""
+    rng = np.random.default_rng(1)
+    for i in range(8):
+        create_batch(
+            num_channels=2, num_time=6, height=16, width=16, rng=rng
+        ).to_file(tmp_path / "processed" / f"data_{i:03d}.npz")
+
+    params = CultionetParams(
+        ckpt_file=tmp_path / "ckpt" / "last.ckpt",
+        dataset=ChipDataset(tmp_path),
+        batch_size=2,
+        val_frac=0.5,
+        hidden_channels=4,
+        attention_weights=None,
+        dilations=[1],
+        epochs=2,
+        precision="32",
+        save_batch_val_metrics=True,
+    )
+    fit(params)
+
+    import pandas as pd
+
+    frame = pd.read_parquet(tmp_path / "ckpt" / "batch_metrics.parquet")
+    # 4 val chips / batch 2 = 2 val batches x 2 epochs
+    assert len(frame) == 4
+    assert set(frame["epoch"]) == {0, 1}
+    assert {"batch", "loss", "score", "edge_f1"} <= set(frame.columns)
+    # epoch-curve event stream exists too
+    assert (tmp_path / "ckpt" / "history.csv").exists()
