@@ -5,8 +5,11 @@ utils/model_preprocessing.py); in environments without those C libraries
 this module supplies a dependency-free baseline-TIFF reader/writer that
 covers the subset the framework produces and consumes:
 
-- single- or multi-band (chunky interleaved), single-strip, uncompressed,
-  little-endian
+- write: single- or multi-band (chunky interleaved), single-strip,
+  uncompressed, little-endian
+- read: stripped OR tiled layouts; uncompressed, LZW (with horizontal
+  predictor), Deflate/zlib, and PackBits compression — enough for
+  GDAL-produced GeoTIFFs like the reference's bundled time series
 - uint8/uint16/int16/int32/uint32/float32/float64 sample formats
 - GeoTIFF georeferencing: ModelPixelScale + ModelTiepoint tags and the
   GeoKeyDirectory ProjectedCSType/GeographicType EPSG code
@@ -32,6 +35,11 @@ _SAMPLES_PER_PIXEL = 277
 _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _PLANAR_CONFIG = 284
+_PREDICTOR = 317
+_TILE_WIDTH = 322
+_TILE_LENGTH = 323
+_TILE_OFFSETS = 324
+_TILE_BYTE_COUNTS = 325
 _SAMPLE_FORMAT = 339
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
@@ -183,6 +191,96 @@ def write_tiff(
     return path
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, early width change)."""
+    out = bytearray()
+    table: T.List[bytes] = []
+    width = 9
+    prev: T.Optional[bytes] = None
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+
+    def reset_table():
+        t = [bytes([i]) for i in range(256)]
+        t.append(b"")  # 256 = Clear
+        t.append(b"")  # 257 = EOI
+        return t
+
+    table = reset_table()
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:
+            table = reset_table()
+            width = 9
+            prev = None
+            continue
+        if code == 257:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # TIFF early change: bump width when the NEXT code would not fit.
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        hdr = data[i]
+        i += 1
+        if hdr < 128:
+            out += data[i : i + hdr + 1]
+            i += hdr + 1
+        elif hdr > 128:
+            out += data[i : i + 1] * (257 - hdr)
+            i += 1
+    return bytes(out)
+
+
+def _decompress(data: bytes, compression: int) -> bytes:
+    if compression == 1:
+        return data
+    if compression == 5:
+        return _lzw_decode(data)
+    if compression in (8, 32946):  # Deflate / legacy zlib
+        import zlib
+
+        return zlib.decompress(data)
+    if compression == 32773:
+        return _packbits_decode(data)
+    raise ValueError(f"Unsupported TIFF compression {compression}")
+
+
+def _undo_predictor(rows: np.ndarray, predictor: int) -> np.ndarray:
+    """Horizontal differencing (predictor=2) on (rows, width, spp):
+    cumulative sum along the width axis, per sample component."""
+    if predictor == 2:
+        return np.cumsum(
+            rows.astype(np.int64), axis=1, dtype=np.int64
+        ).astype(rows.dtype)
+    return rows
+
+
 def read_tiff(
     path: T.Union[str, Path],
 ) -> T.Tuple[
@@ -229,10 +327,6 @@ def read_tiff(
     h = int(tags[_IMAGE_LENGTH][0])
     bits = int(tags.get(_BITS_PER_SAMPLE, [8])[0])
     compression = int(tags.get(_COMPRESSION, [1])[0])
-    if compression != 1:
-        raise ValueError(
-            f"Only uncompressed TIFFs supported (compression={compression})"
-        )
     spp = int(tags.get(_SAMPLES_PER_PIXEL, [1])[0])
     planar = int(tags.get(_PLANAR_CONFIG, [1])[0])
     if spp > 1 and planar != 1:
@@ -241,19 +335,47 @@ def read_tiff(
     dtype = _DTYPES.get((sample_format, bits))
     if dtype is None:
         raise ValueError(f"Unsupported sample format {sample_format}/{bits}")
+    predictor = int(tags.get(_PREDICTOR, [1])[0])
+    dt = np.dtype(dtype).newbyteorder(bo)
 
-    offsets = tags[_STRIP_OFFSETS]
-    counts = tags[_STRIP_BYTE_COUNTS]
-    data = b"".join(
-        blob[int(o) : int(o) + int(c)] for o, c in zip(offsets, counts)
-    )
-    array = np.frombuffer(data, dtype=np.dtype(dtype).newbyteorder(bo))
-    if spp > 1:
-        array = np.moveaxis(
-            array.reshape(h, w, spp), -1, 0
-        ).astype(dtype)  # -> (bands, H, W)
+    if _TILE_OFFSETS in tags:
+        # Tiled layout (GDAL default for many products): tiles run across
+        # then down; edge tiles are padded to (tile_len, tile_w).
+        tw = int(tags[_TILE_WIDTH][0])
+        tl = int(tags[_TILE_LENGTH][0])
+        across = -(-w // tw)
+        down = -(-h // tl)
+        grid = np.zeros((down * tl, across * tw, spp), dtype=dtype)
+        for ti, (o, c) in enumerate(
+            zip(tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS])
+        ):
+            raw = _decompress(blob[int(o) : int(o) + int(c)], compression)
+            tile = np.frombuffer(raw, dtype=dt, count=tl * tw * spp)
+            tile = tile.reshape(tl, tw, spp)
+            tile = _undo_predictor(tile, predictor)
+            r0 = (ti // across) * tl
+            c0 = (ti % across) * tw
+            grid[r0 : r0 + tl, c0 : c0 + tw] = tile
+        pixels = grid[:h, :w]
     else:
-        array = array.reshape(h, w).astype(dtype)
+        rows_per_strip = int(tags.get(_ROWS_PER_STRIP, [h])[0])
+        offsets = tags[_STRIP_OFFSETS]
+        counts = tags[_STRIP_BYTE_COUNTS]
+        rows_out = []
+        row = 0
+        for o, c in zip(offsets, counts):
+            nrows = min(rows_per_strip, h - row)
+            raw = _decompress(blob[int(o) : int(o) + int(c)], compression)
+            strip = np.frombuffer(raw, dtype=dt, count=nrows * w * spp)
+            strip = strip.reshape(nrows, w, spp)
+            rows_out.append(_undo_predictor(strip, predictor))
+            row += nrows
+        pixels = np.concatenate(rows_out, axis=0)
+
+    if spp > 1:
+        array = np.moveaxis(pixels, -1, 0).astype(dtype)  # -> (bands, H, W)
+    else:
+        array = pixels[..., 0].astype(dtype)
 
     bounds = None
     cell_res = None

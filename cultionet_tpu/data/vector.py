@@ -19,6 +19,7 @@ Ring = np.ndarray  # (N, 2) exterior-ring coordinates
 Shapes = T.List[T.Tuple[Ring, int]]
 
 _CLASS_KEYS = ("class", "crop_class", "class_value", "value", "DN", "id")
+_CLASS_KEYS_LOWER = tuple(k.lower() for k in _CLASS_KEYS)
 
 
 def _feature_class(properties: T.Optional[dict]) -> int:
@@ -101,7 +102,10 @@ def read_region_polygons(
 
     1. ``<region>/polygons.json`` — [[ring, class], ...] pairs (native)
     2. ``<region>/polygons.geojson`` — GeoJSON FeatureCollection
-    3. ``<project>/polygons.geojson`` — project-wide GeoJSON, bbox-clipped
+    3. ``<region>/polygons.gpkg`` — GeoPackage feature table
+    4. ``<project>/user_train/<region>_poly_*.gpkg`` — the REFERENCE's
+       training-vector layout (scripts config user_train files)
+    5. ``<project>/polygons.geojson`` — project-wide GeoJSON, bbox-clipped
        to the region bounds (the reference's per-grid clip of the shared
        training-polygon layer)
     """
@@ -116,7 +120,17 @@ def read_region_polygons(
     regional = region_path / "polygons.geojson"
     if regional.is_file():
         return parse_geojson(regional)
+    regional_gpkg = region_path / "polygons.gpkg"
+    if regional_gpkg.is_file():
+        return read_gpkg(regional_gpkg)
     if project_path is not None:
+        user_train = Path(project_path) / "user_train"
+        if user_train.is_dir():
+            matches = sorted(
+                user_train.glob(f"{region_path.name}_poly_*.gpkg")
+            )
+            if matches:
+                return read_gpkg(matches[0])
         shared = Path(project_path) / "polygons.geojson"
         if shared.is_file():
             shapes = parse_geojson(shared)
@@ -124,3 +138,125 @@ def read_region_polygons(
                 shapes = filter_by_bounds(shapes, bounds)
             return shapes
     return None
+
+
+# ---------------------------------------------------------------------------
+# GeoPackage (gpkg) reading: stdlib sqlite3 + a WKB polygon parser — the
+# reference's training vectors (user_train/*.gpkg, geopandas/GEOS there).
+# ---------------------------------------------------------------------------
+
+import sqlite3
+import struct
+
+
+def _parse_wkb_rings(wkb: bytes) -> T.List[Ring]:
+    """Exterior rings from WKB Polygon / MultiPolygon (2D or with Z/M)."""
+
+    def parse_geometry(buf: memoryview, pos: int) -> T.Tuple[T.List[Ring], int]:
+        bo = "<" if buf[pos] == 1 else ">"
+        (gtype,) = struct.unpack_from(bo + "I", buf, pos + 1)
+        pos += 5
+        base = gtype & 0xFF
+        ndim = 2
+        flat = gtype % 1000
+        if gtype & 0x80000000:  # EWKB Z flag
+            ndim += 1
+        if gtype & 0x40000000:  # EWKB M flag
+            ndim += 1
+        if 1000 <= (gtype & 0xFFFF) < 2000:
+            ndim = 3
+        elif 2000 <= (gtype & 0xFFFF) < 3000:
+            ndim = 3
+        elif 3000 <= (gtype & 0xFFFF) < 4000:
+            ndim = 4
+        if gtype & 0x20000000:  # EWKB SRID present
+            pos += 4
+        base = flat if flat in (3, 6, 7) else base
+
+        if base == 3:  # Polygon
+            (n_rings,) = struct.unpack_from(bo + "I", buf, pos)
+            pos += 4
+            rings: T.List[Ring] = []
+            for ring_i in range(n_rings):
+                (n_pts,) = struct.unpack_from(bo + "I", buf, pos)
+                pos += 4
+                pts = np.frombuffer(
+                    buf, dtype=np.dtype("f8").newbyteorder(bo),
+                    count=n_pts * ndim, offset=pos,
+                ).reshape(n_pts, ndim)
+                pos += n_pts * ndim * 8
+                if ring_i == 0:  # exterior only (holes unused in label math)
+                    rings.append(np.asarray(pts[:, :2], dtype="float64"))
+            return rings, pos
+        if base in (6, 7):  # MultiPolygon / GeometryCollection
+            (n_geoms,) = struct.unpack_from(bo + "I", buf, pos)
+            pos += 4
+            rings = []
+            for _ in range(n_geoms):
+                sub, pos = parse_geometry(buf, pos)
+                rings.extend(sub)
+            return rings, pos
+        return [], pos
+
+    rings, _ = parse_geometry(memoryview(wkb), 0)
+    return rings
+
+
+def _strip_gpkg_header(blob: bytes) -> bytes:
+    """GeoPackage geometry BLOB -> inner WKB (GP header + envelope)."""
+    if blob[:2] != b"GP":
+        return blob  # plain WKB
+    flags = blob[3]
+    envelope_code = (flags >> 1) & 0x7
+    envelope_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}.get(envelope_code, 0)
+    return blob[8 + envelope_len :]
+
+
+def read_gpkg(
+    path: T.Union[str, Path],
+    class_column: T.Optional[str] = None,
+) -> Shapes:
+    """(exterior ring, class value) pairs from a GeoPackage feature table
+    (pure python: stdlib sqlite3 + WKB parsing — the reference reads these
+    with geopandas/fiona)."""
+    con = sqlite3.connect(str(path))
+    try:
+        cur = con.cursor()
+        tables = cur.execute(
+            "SELECT table_name FROM gpkg_contents WHERE data_type='features'"
+        ).fetchall()
+        if not tables:
+            raise ValueError(f"No feature tables in {path}")
+        table = tables[0][0]
+        (geom_col,) = cur.execute(
+            "SELECT column_name FROM gpkg_geometry_columns "
+            "WHERE table_name=?",
+            (table,),
+        ).fetchone()
+        columns = [
+            row[1]
+            for row in cur.execute(f"PRAGMA table_info('{table}')").fetchall()
+        ]
+        if class_column is None:
+            class_column = next(
+                (c for c in columns if c.lower() in _CLASS_KEYS_LOWER), None
+            )
+        select_cols = f'"{geom_col}"' + (
+            f', "{class_column}"' if class_column else ""
+        )
+        shapes: Shapes = []
+        for row in cur.execute(f'SELECT {select_cols} FROM "{table}"'):
+            blob = row[0]
+            if blob is None:
+                continue
+            value = 1
+            if class_column:
+                try:
+                    value = int(row[1])
+                except (TypeError, ValueError):
+                    value = 1
+            for ring in _parse_wkb_rings(_strip_gpkg_header(bytes(blob))):
+                shapes.append((ring, value))
+        return shapes
+    finally:
+        con.close()

@@ -33,6 +33,12 @@ def _parse_date(stem: str) -> datetime.date:
         return datetime.date(
             int(digits[:4]), int(digits[4:6]), int(digits[6:8])
         )
+    if len(digits) == 7:
+        # %Y%j day-of-year (the reference's default date_format and the
+        # naming of its bundled time series, e.g. 2020001.tif)
+        return datetime.date(int(digits[:4]), 1, 1) + datetime.timedelta(
+            days=int(digits[4:7]) - 1
+        )
     if len(digits) >= 6:
         return datetime.date(int(digits[:4]), int(digits[4:6]), 1)
     raise ValueError(f"Cannot parse a date from {stem!r}")

@@ -251,3 +251,84 @@ def test_geojson_polygons_with_project_clip(tmp_path):
     )
     assert polys is not None and len(polys) == 1
     np.testing.assert_allclose(polys[0][0][0], [0, 0])
+
+
+REF_DATA = "/root/reference/tests/data"
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path(REF_DATA).is_dir(),
+    reason="reference test data not present",
+)
+def test_reference_real_data_end_to_end(tmp_path):
+    """THE migration test: the reference's own bundled real data — LZW-
+    compressed tiled GeoTIFF time series (3 vegetation indices x 12 dates)
+    + gpkg training polygons — through this framework's pure-python
+    ingestion into a training chip, no GDAL/rasterio/geopandas."""
+    import shutil
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    project = tmp_path / "project"
+    (project / "time_series_vars").mkdir(parents=True)
+    shutil.copytree(
+        Path(REF_DATA) / "time_series_vars" / "000064",
+        project / "time_series_vars" / "000064",
+    )
+    (project / "user_train").mkdir()
+    shutil.copy(
+        Path(REF_DATA) / "user_train" / "000064_poly_2021.gpkg",
+        project / "user_train" / "000064_poly_2021.gpkg",
+    )
+
+    result = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "cultionet_tpu",
+            "create",
+            "-p",
+            str(project),
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert result.returncode == 0, result.stderr
+
+    chips = list((project / "data" / "train" / "processed").glob("*.npz"))
+    assert len(chips) == 1
+    from cultionet_tpu.data.batch import Batch
+
+    chip = Batch.from_file(chips[0])
+    assert chip.x.shape == (1, 13, 100, 100, 3)  # 13 dates x 3 VIs
+    x = np.asarray(chip.x)
+    assert np.isfinite(x).all() and 0.0 <= x.min() and x.max() <= 1.5
+    y = np.asarray(chip.y)
+    # real labels: background + crop + boundary edges all present
+    assert {0, 1, 2} <= set(np.unique(y).tolist())
+    bdist = np.asarray(chip.bdist)
+    assert 0.0 <= bdist.min() and bdist.max() <= 1.0 and bdist.max() > 0.1
+    # georeferencing came through the LZW reader
+    assert abs(float(chip.left[0]) - 364817.0888270856) < 1.0
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path(REF_DATA).is_dir(),
+    reason="reference test data not present",
+)
+def test_reference_real_data_seasonal_window():
+    """%Y%j (day-of-year) date parsing windows the reference's real time
+    series: Jan 2020..Jan 2021 composites filtered to a growing season."""
+    from pathlib import Path
+
+    x, bounds, cell_res, crs = read_time_series(
+        Path(REF_DATA) / "time_series_vars" / "000064",
+        end_year=2020,
+        start_mmdd="04-01",
+        end_mmdd="10-31",
+    )
+    # April..October 2020 monthly composites = 7 of the 13 files
+    assert x.shape == (7, 100, 100, 3)
+    assert crs == "EPSG:32611"
+    assert cell_res == 10.0
