@@ -159,6 +159,13 @@ def test_create_predict_dataset_and_stitch(tmp_path):
 
     out = predictor.predict_to_raster(ds, tmp_path / "out.tif")
     assert out.exists()
-    data = np.load(out)
+    # without rasterio: a REAL GeoTIFF (pure-python codec) + npz sidecar
+    from cultionet_tpu.data.tiny_tiff import read_tiff
+
+    raster_tif, *_ = read_tiff(out)
+    assert raster_tif.shape == (3, 75, 130)
+    assert raster_tif.dtype == np.uint16
+    data = np.load(out.with_suffix(".npz"))
     assert data["raster"].shape == (3, 75, 130)
     assert data["raster"].dtype == np.uint16
+    np.testing.assert_array_equal(data["raster"], raster_tif)
