@@ -8,7 +8,6 @@ under ``host_context()`` so jnp ops execute on the always-available CPU
 backend.
 """
 
-import contextlib
 import functools
 
 import jax
@@ -27,17 +26,3 @@ def host_context():
     return jax.default_device(cpu_device())
 
 
-def on_host(fn):
-    """Decorator running ``fn`` under ``host_context()``."""
-
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        with host_context():
-            return fn(*args, **kwargs)
-
-    return wrapped
-
-
-@contextlib.contextmanager
-def noop_context():
-    yield
