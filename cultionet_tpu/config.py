@@ -34,6 +34,10 @@ class CultionetParams:
     # compiled train step (augment/device.py) instead of host workers.
     device_augment: bool = False
     device_augment_noise: float = 0.0
+    # Stream training batches from a packed int16 chipstore assembled by
+    # C++ worker threads; dequantize + augment + normalize happen inside
+    # the compiled step (the fast path — closes the loader/step gap).
+    use_chipstore: bool = False
 
     # Model
     in_channels: T.Optional[int] = None

@@ -29,6 +29,7 @@ def make_sharded_train_step(
     device_augment_noise: float = 0.0,
     class_weights=None,
     state_shardings=None,
+    norm_stats=None,
 ):
     """Jitted data-parallel train step: state replicated (or FSDP-sharded
     when ``state_shardings`` is given), batch sharded."""
@@ -40,6 +41,7 @@ def make_sharded_train_step(
         device_augment=device_augment,
         device_augment_noise=device_augment_noise,
         class_weights=class_weights,
+        norm_stats=norm_stats,
     )
     repl = replicated(mesh)
     data = batch_sharding(mesh, axis_name)

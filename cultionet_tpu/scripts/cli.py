@@ -313,6 +313,7 @@ def _build_params(
         augment_prob=args.augment_prob,
         device_augment=args.device_augment,
         device_augment_noise=args.device_augment_noise,
+        use_chipstore=getattr(args, "use_chipstore", False),
         random_seed=args.random_seed,
         reset_model=args.reset_model,
         skip_train=args.skip_train,

@@ -135,7 +135,11 @@ def _resolve_class_weights(params: CultionetParams):
 
 
 def _make_steps(
-    params: CultionetParams, mesh=None, frozen_mask=None, state_shardings=None
+    params: CultionetParams,
+    mesh=None,
+    frozen_mask=None,
+    state_shardings=None,
+    norm_stats=None,
 ):
     precision = params.compute_precision
     class_weights = _resolve_class_weights(params)
@@ -152,6 +156,7 @@ def _make_steps(
                 device_augment_noise=params.device_augment_noise,
                 class_weights=class_weights,
                 state_shardings=state_shardings,
+                norm_stats=norm_stats,
             ),
             make_sharded_eval_step(
                 mesh,
@@ -171,6 +176,7 @@ def _make_steps(
             device_augment=params.device_augment,
             device_augment_noise=params.device_augment_noise,
             class_weights=class_weights,
+            norm_stats=norm_stats,
         ),
         make_eval_step(
             loss_name=params.loss_name,
@@ -215,7 +221,7 @@ def _build_tx(
 
 
 def _reestimate_batch_stats(
-    state: TrainState, loader: ChipLoader, precision: str
+    state: TrainState, loader, precision: str, norm_stats=None
 ) -> TrainState:
     """Recompute BatchNorm running statistics under the current (e.g. SWA
     averaged) parameters: one forward pass over the train loader with
@@ -232,6 +238,11 @@ def _reestimate_batch_stats(
     @jax.jit
     def bn_step(params, stats, batch):
         batch = batch.dequantize()
+        if norm_stats is not None:
+            batch = batch.replace(
+                x=(batch.x - jnp.asarray(norm_stats[0], jnp.float32))
+                / jnp.asarray(norm_stats[1], jnp.float32)
+            )
         _, mutated = state.apply_fn(
             {
                 "params": cast_floating(params, compute_dtype),
@@ -321,14 +332,46 @@ def fit(
             len(train_ds) // max(1, loader_batch_size), "steps_per_epoch"
         )
 
-    train_loader = ChipLoader(
-        train_ds,
-        batch_size=loader_batch_size,
-        shuffle=True,
-        drop_last=True,
-        num_workers=params.load_batch_workers,
-        sharding=train_sharding,
-    )
+    norm_stats = None
+    if params.use_chipstore:
+        # Fast path: C++ chipstore streams raw int16 chips; scaling,
+        # augmentation (device dihedral), and normalization all run inside
+        # the compiled step. Host augmenters don't apply here.
+        from ..data.chipstore import ChipstoreLoader
+
+        assert not train_ds.log_transform, (
+            "use_chipstore does not support log_transform"
+        )
+        if params.augment_prob > 0 and not params.device_augment:
+            logger.warning(
+                "use_chipstore skips host augmenters; set "
+                "device_augment=True for in-step augmentation"
+            )
+        if train_ds.norm_values is not None:
+            nv = train_ds.norm_values
+            norm_stats = (nv.dataset_mean, nv.dataset_std)
+        cache_dir = (
+            Path(params.ckpt_file).parent
+            if params.ckpt_file is not None
+            else Path(train_ds.root) / "cache"
+        )
+        train_loader = ChipstoreLoader(
+            train_ds,
+            batch_size=loader_batch_size,
+            cache_path=cache_dir / "train.cts",
+            seed=params.random_seed,
+            num_threads=max(2, params.load_batch_workers),
+            sharding=train_sharding,
+        )
+    else:
+        train_loader = ChipLoader(
+            train_ds,
+            batch_size=loader_batch_size,
+            shuffle=True,
+            drop_last=True,
+            num_workers=params.load_batch_workers,
+            sharding=train_sharding,
+        )
     val_loader = ChipLoader(
         val_ds, batch_size=params.batch_size, shuffle=False
     )
@@ -431,7 +474,10 @@ def fit(
             state = replicate_state(state, mesh)
 
     train_step, eval_step = _make_steps(
-        params, mesh=mesh, state_shardings=state_shardings
+        params,
+        mesh=mesh,
+        state_shardings=state_shardings,
+        norm_stats=norm_stats,
     )
     # Partial validation batches can't shard evenly over the mesh; they run
     # through an unsharded eval step (replicated state works as-is).
@@ -554,7 +600,10 @@ def fit(
     if swa_params is not None:
         state = state.replace(params=swa_params)
         state = _reestimate_batch_stats(
-            state, train_loader, params.compute_precision
+            state,
+            train_loader,
+            params.compute_precision,
+            norm_stats=norm_stats,
         )
         if ckpt is not None:
             ckpt.save_last(

@@ -161,6 +161,7 @@ def make_train_step(
     device_augment: bool = False,
     device_augment_noise: float = 0.0,
     class_weights: T.Optional[T.Dict[str, T.Any]] = None,
+    norm_stats: T.Optional[T.Tuple[T.Any, T.Any]] = None,
 ):
     """Build a jitted train step: (state, batch, rng) -> (state, logs).
 
@@ -171,8 +172,16 @@ def make_train_step(
     ``device_augment`` fuses per-sample random dihedral transforms (and
     optional gaussian noise) into the compiled step — the jit-able
     augmentation pipeline that replaces host-worker rot/flip augmenters.
+
+    ``norm_stats`` = (mean, std) per channel moves the z-score transform
+    INTO the compiled step (applied after dequantize + augmentation, the
+    same order as the host pipeline) — the chipstore fast path streams raw
+    packed chips and normalizes on device.
     """
     compute_dtype = resolve_dtype(precision)
+    if norm_stats is not None:
+        norm_mean = jnp.asarray(norm_stats[0], dtype=jnp.float32)
+        norm_std = jnp.asarray(norm_stats[1], dtype=jnp.float32)
 
     def train_step(state: TrainState, batch: Batch, rng: Array):
         # int16-packed chipstore batches dequantize on device (trace-time
@@ -188,6 +197,8 @@ def make_train_step(
                 dihedral=device_augment,
                 noise_sigma=device_augment_noise,
             )
+        if norm_stats is not None:
+            batch = batch.replace(x=(batch.x - norm_mean) / norm_std)
         def loss_fn(params):
             run_params = cast_floating(params, compute_dtype)
             run_batch = batch.replace(x=batch.x.astype(compute_dtype))

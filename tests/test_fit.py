@@ -176,3 +176,47 @@ def test_save_batch_val_metrics(tmp_path):
     assert {"batch", "loss", "score", "edge_f1"} <= set(frame.columns)
     # epoch-curve event stream exists too
     assert (tmp_path / "ckpt" / "history.csv").exists()
+
+
+def test_fit_with_chipstore_fast_path(tmp_path):
+    """use_chipstore: raw int16 batches stream from the native store and
+    the compiled step dequantizes + augments + z-scores on device; history
+    and checkpoints behave as on the per-file path."""
+    from cultionet_tpu.utils.normalize import NormValues
+
+    rng = np.random.default_rng(2)
+    for i in range(8):
+        create_batch(
+            num_channels=2, num_time=6, height=16, width=16, rng=rng
+        ).to_file(tmp_path / "processed" / f"data_{i:03d}.npz")
+    ds = ChipDataset(tmp_path)
+    ds.norm_values = NormValues(
+        dataset_mean=np.asarray([0.4, 0.6], dtype=np.float32),
+        dataset_std=np.asarray([0.2, 0.3], dtype=np.float32),
+        dataset_crop_counts=np.asarray([100, 50]),
+        dataset_edge_counts=np.asarray([140, 10]),
+        num_channels=2,
+    )
+
+    params = CultionetParams(
+        ckpt_file=tmp_path / "ckpt" / "last.ckpt",
+        dataset=ds,
+        batch_size=2,
+        val_frac=0.25,
+        hidden_channels=4,
+        attention_weights=None,
+        dilations=[1],
+        epochs=2,
+        precision="32",
+        use_chipstore=True,
+        device_augment=True,
+    )
+    result = fit(params)
+    assert len(result.history) == 2
+    assert all(np.isfinite(row["loss"]) for row in result.history)
+    # the packed store was cached next to the checkpoints and is reused
+    store_file = tmp_path / "ckpt" / "train.cts"
+    assert store_file.exists()
+    mtime = store_file.stat().st_mtime
+    fit(params)  # resume/second run must not rebuild the store
+    assert store_file.stat().st_mtime == mtime

@@ -195,3 +195,44 @@ def test_swa_bn_reestimation_updates_stats(tmp_path):
         for a, b in zip(before, after)
     ]
     assert max(deltas) > 1e-6, "stats unchanged — re-estimation did nothing"
+
+
+def test_in_step_normalization_matches_host():
+    """make_train_step(norm_stats=...) on a packed batch equals the plain
+    step on a host-normalized float batch (up to int16 quantization)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    batch = create_batch(
+        num_channels=2, num_time=6, height=16, width=16, batch_size=2,
+        rng=rng,
+    )
+    mean = np.asarray([0.4, 0.6], dtype=np.float32)
+    std = np.asarray([0.2, 0.3], dtype=np.float32)
+
+    model = CultioNet(
+        in_time=6, hidden_channels=4, attention_weights=None, dilations=[1]
+    )
+    tx = build_optimizer(optimizer="AdamW", learning_rate=1e-3)
+    state = create_train_state(model, tx, batch, seed=0)
+    key = jax.random.PRNGKey(0)
+
+    # host-normalized float path
+    host_batch = batch.replace(x=(batch.x - mean) / std)
+    plain = make_train_step(precision="fp32", donate=False)
+    _, logs_host = plain(state, host_batch, key)
+
+    # packed + in-step normalization path (quantize to the int16 grid)
+    packed = batch.replace(
+        x=np.round(np.asarray(batch.x) * 10000).astype(np.int16),
+        y=np.asarray(batch.y, dtype=np.int16),
+        bdist=np.round(np.asarray(batch.bdist) * 10000).astype(np.int16),
+    )
+    fused = make_train_step(
+        precision="fp32", donate=False, norm_stats=(mean, std)
+    )
+    _, logs_packed = fused(state, packed, key)
+
+    np.testing.assert_allclose(
+        float(logs_host["loss"]), float(logs_packed["loss"]), atol=2e-3
+    )
