@@ -16,7 +16,6 @@ needed, just batch/spatial sharding.
 import jax
 import jax.numpy as jnp
 import numpy as np
-from einops import rearrange
 from flax import linen as nn
 
 from ..nn.activations import get_activation
@@ -110,12 +109,71 @@ def sinusoid_encoding_table(positions: int, dim: int) -> np.ndarray:
     return table
 
 
+def _temporal_axis_attention(
+    q: Array, k: Array, v: Array, num_heads: int, batch_chunk: int = 4
+) -> Array:
+    """Multi-head attention over the T axis of (B, T, H, W, C) tensors.
+
+    TPU layout hazard: any materialized attention-weights tensor here has
+    tiny T/S (~12) dims, and XLA's layout assignment insists on placing
+    them on the (8, 128) tile minors — a ~14x padding blowup (~10 GB at
+    B=32, 100x100) regardless of einsum orientation. The transient is
+    bounded by scanning BATCH CHUNKS with rematerialization: ~1.2 GB live
+    per 4-sample chunk, recomputed in the backward.
+    """
+    b = q.shape[0]
+    if b > batch_chunk:
+        chunk = next(
+            (c_ for c_ in range(batch_chunk, 0, -1) if b % c_ == 0), 1
+        )
+        blocks = b // chunk
+        qr = q.reshape(blocks, chunk, *q.shape[1:])
+        kr = k.reshape(blocks, chunk, *k.shape[1:])
+        vr = v.reshape(blocks, chunk, *v.shape[1:])
+        out = jax.lax.map(
+            jax.checkpoint(
+                lambda args: _attend_t_axis(*args, num_heads=num_heads)
+            ),
+            (qr, kr, vr),
+        )
+        return out.reshape(b, *out.shape[2:])
+    return _attend_t_axis(q, k, v, num_heads=num_heads)
+
+
+def _attend_t_axis(
+    q: Array, k: Array, v: Array, num_heads: int
+) -> Array:
+    b, t, h, w, c = q.shape
+    s_len = k.shape[1]
+    d = c // num_heads
+    scale = d ** -0.5
+    qh = q.reshape(b, t, h, w, num_heads, d)
+    kh = k.reshape(b, s_len, h, w, num_heads, d)
+    vh = v.reshape(b, s_len, h, w, num_heads, d)
+    logits = jnp.einsum(
+        "bthwnd,bshwnd->bntshw", qh * scale, kh,
+        preferred_element_type=jnp.float32,
+    )
+    weights = jax.nn.softmax(logits, axis=3).astype(q.dtype)
+    # Weighted sum over S as UNROLLED broadcast multiplies (S ~ 12): a
+    # dot_general here makes XLA materialize a transposed copy of the
+    # weights with the tiny (T, S) dims on the (8, 128) tile minors —
+    # a 14x padding blowup (~10 GB at production scale). Elementwise
+    # accumulation fuses instead.
+    out = jnp.zeros((b, t, h, w, num_heads, d), dtype=q.dtype)
+    for si in range(s_len):
+        w_s = jnp.transpose(weights[:, :, :, si], (0, 2, 3, 4, 1))
+        out = out + w_s[..., None] * vh[:, si][:, None]
+    return out.reshape(b, t, h, w, c)
+
+
 class TemporalTransformer(nn.Module):
     """Per-pixel temporal self-attention embedding, (B,T,H,W,C) -> (B,H,W,out).
 
     Tokens are per-(pixel, time) channel vectors projected to ``d_model``,
     plus sinusoidal time encodings; ``num_layers`` pre-LN transformer blocks
-    run over the T axis; a learned query pools T -> 1.
+    run over the T axis (pixel-minor attention layout — see
+    ``_tiny_t_attention``); a learned query pools T -> 1.
     """
 
     out_channels: int
@@ -129,20 +187,36 @@ class TemporalTransformer(nn.Module):
     def __call__(self, x: Array, training: bool = False) -> Array:
         batch, time, height, width, _ = x.shape
 
-        tokens = rearrange(x, "b t h w c -> (b h w) t c")
+        # Stay (B, T, H, W, D) throughout — see _temporal_axis_attention.
         tokens = nn.Dense(
             self.d_model, kernel_init=kaiming_normal, bias_init=normal_bias
-        )(tokens)
+        )(x)
         pos = jnp.asarray(sinusoid_encoding_table(time, self.d_model))
-        tokens = tokens + pos[None]
+        tokens = tokens + pos[:, None, None, :][None]
 
+        attention = jax.checkpoint(
+            lambda q, k, v: _temporal_axis_attention(
+                q, k, v, self.num_heads
+            )
+        )
         for _ in range(self.num_layers):
             attn_in = nn.LayerNorm(epsilon=1e-5)(tokens)
-            attn = nn.MultiHeadDotProductAttention(
-                num_heads=self.num_heads,
-                dropout_rate=self.dropout,
-                deterministic=not training,
-            )(attn_in, attn_in)
+            qkv = nn.Dense(
+                self.d_model * 3,
+                kernel_init=kaiming_normal,
+                bias_init=normal_bias,
+            )(attn_in)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            attn = attention(q, k, v)
+            attn = nn.Dense(
+                self.d_model,
+                kernel_init=kaiming_normal,
+                bias_init=normal_bias,
+            )(attn)
+            if self.dropout > 0:
+                attn = nn.Dropout(
+                    rate=self.dropout, deterministic=not training
+                )(attn)
             tokens = tokens + attn
             mlp_in = nn.LayerNorm(epsilon=1e-5)(tokens)
             mlp = nn.Dense(self.d_model * 2)(mlp_in)
@@ -150,26 +224,31 @@ class TemporalTransformer(nn.Module):
             mlp = nn.Dense(self.d_model)(mlp)
             tokens = tokens + mlp
 
-        # Learned-query pooling over time.
+        # Learned-query pooling over time (query length 1 on the T axis).
         query = self.param(
             "pool_query",
             nn.initializers.normal(stddev=0.02),
-            (1, 1, self.d_model),
+            (1, 1, 1, 1, self.d_model),
         )
-        query = jnp.broadcast_to(query, (tokens.shape[0], 1, self.d_model))
-        pooled = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            dropout_rate=self.dropout,
-            deterministic=not training,
-        )(nn.LayerNorm(epsilon=1e-5)(query), nn.LayerNorm(epsilon=1e-5)(tokens))
-        pooled = jnp.squeeze(pooled, axis=1)
+        query = jnp.broadcast_to(
+            query, (batch, 1, height, width, self.d_model)
+        )
+        keys = nn.LayerNorm(epsilon=1e-5)(tokens)
+        pool_q = nn.Dense(
+            self.d_model, kernel_init=kaiming_normal, bias_init=normal_bias
+        )(nn.LayerNorm(epsilon=1e-5)(query))
+        pool_k = nn.Dense(
+            self.d_model, kernel_init=kaiming_normal, bias_init=normal_bias
+        )(keys)
+        pool_v = nn.Dense(
+            self.d_model, kernel_init=kaiming_normal, bias_init=normal_bias
+        )(keys)
+        pooled = attention(pool_q, pool_k, pool_v)
+        pooled = jnp.squeeze(pooled, axis=1)  # (B, H, W, D)
 
         out = nn.Dense(
             self.out_channels,
             kernel_init=kaiming_normal,
             bias_init=normal_bias,
         )(pooled)
-        out = rearrange(
-            out, "(b h w) c -> b h w c", b=batch, h=height, w=width
-        )
         return nn.LayerNorm(epsilon=1e-5)(out)

@@ -43,9 +43,21 @@ def create_train_state(
     init_batch: Batch,
     seed: int = 0,
 ) -> TrainState:
-    variables = model.init(
-        jax.random.PRNGKey(seed), init_batch, training=False
-    )
+    """Initialize params/batch_stats.
+
+    Init runs JITTED on a SINGLE sample: parameter shapes are independent
+    of batch size, and an eager full-batch init materializes every
+    intermediate (the TemporalTransformer option OOMs at production batch
+    sizes when initialized eagerly at bs=32 x 100x100).
+    """
+    one = jax.tree_util.tree_map(lambda leaf: leaf[:1], init_batch)
+    one = one.dequantize()
+
+    @jax.jit
+    def init(rng, batch):
+        return model.init(rng, batch, training=False)
+
+    variables = init(jax.random.PRNGKey(seed), strip_static(one))
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
