@@ -373,18 +373,35 @@ def build_chipstore_from_dataset(
 ) -> Path:
     """Pack a ChipDataset's raw chips (UNscaled/unaugmented — the step
     dequantizes, augments, and normalizes on device) into one store file.
-    Rebuilds only when stale (chip count or newest chip mtime changed)."""
+
+    The cache file name is keyed on a content hash of the *membership*
+    (the sorted chip file list) plus the store format, and carries the
+    process index, so: (a) a re-split with the same chip count but
+    different train membership builds a fresh store instead of silently
+    training on stale (val-leaking) membership, and (b) multi-host runs
+    sharing one filesystem never race on a single file — each process
+    packs its own stripe under its own name. Rebuilds in place when any
+    member chip is newer than the store.
+    """
+    import hashlib
+
     path = Path(path)
     files = list(dataset.files)
+    key_src = "\n".join(sorted(str(f) for f in files))
+    key = hashlib.sha1(
+        f"v2|packed={int(packed)}|{key_src}".encode()
+    ).hexdigest()[:12]
+    try:
+        import jax
+
+        proc = jax.process_index()
+    except Exception:  # pragma: no cover - jax always present in practice
+        proc = 0
+    path = path.with_name(f"{path.stem}-p{proc}-{key}{path.suffix}")
     if path.exists() and files:
         newest = max(f.stat().st_mtime for f in files)
         if path.stat().st_mtime >= newest:
-            store = ChipStore(path)
-            try:
-                if len(store) == len(files):
-                    return path
-            finally:
-                store.close()
+            return path
     chips = (Batch.from_file(f) for f in files)
     return write_chipstore(path, chips, packed=packed)
 

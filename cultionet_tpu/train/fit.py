@@ -57,20 +57,27 @@ def _append_csv(path: Path, row: T.Dict[str, T.Any]) -> None:
         writer.writerow(row)
 
 
-def _append_batch_metrics(ckpt_dir: Path, row: T.Dict[str, T.Any]) -> None:
-    """Append one per-val-batch row to ``batch_metrics.parquet`` (reference
-    lightning.py:512-534: read-concat-write) or ``batch_metrics.csv``."""
+def _append_batch_metrics(
+    ckpt_dir: Path, rows: T.List[T.Dict[str, T.Any]]
+) -> None:
+    """Append per-val-batch rows to ``batch_metrics.parquet`` (reference
+    lightning.py:512-534) or ``batch_metrics.csv``. Called once per epoch
+    with the epoch's buffered rows — one read-concat-write per epoch
+    instead of the reference's per-batch rewrite (O(n^2) IO)."""
+    if not rows:
+        return
     try:
         import pandas as pd
 
         path = ckpt_dir / "batch_metrics.parquet"
-        frame = pd.DataFrame([row])
+        frame = pd.DataFrame(rows)
         if path.exists():
             frame = pd.concat([pd.read_parquet(path), frame])
         ckpt_dir.mkdir(parents=True, exist_ok=True)
         frame.to_parquet(path)
     except (ImportError, OSError):
-        _append_csv(ckpt_dir / "batch_metrics.csv", row)
+        for row in rows:
+            _append_csv(ckpt_dir / "batch_metrics.csv", row)
 
 
 def _mean_metrics(
@@ -239,8 +246,10 @@ def _reestimate_batch_stats(
     def bn_step(params, stats, batch):
         batch = batch.dequantize()
         if norm_stats is not None:
+            # same clip-then-normalize order as the compiled train step
             batch = batch.replace(
-                x=(batch.x - jnp.asarray(norm_stats[0], jnp.float32))
+                x=(jnp.clip(batch.x, 1e-9, 1.0)
+                   - jnp.asarray(norm_stats[0], jnp.float32))
                 / jnp.asarray(norm_stats[1], jnp.float32)
             )
         _, mutated = state.apply_fn(
@@ -296,10 +305,26 @@ def fit(
             ),
         )
 
-    train_ds, val_ds = dataset.split_train_val(
-        val_frac=params.val_frac,
-        spatial_balance=params.spatial_partitions is not None,
-    )
+    partition_file = params.spatial_partitions
+    if (
+        partition_file
+        and partition_file != "spatial"
+        and params.partition_name
+        and Path(partition_file).exists()
+    ):
+        # User partition polygons: validate on the named partition
+        # (reference get_spatial_partitions/query_partition_by_name,
+        # datasets.py:177-259).
+        train_ds, val_ds = dataset.split_by_partition(
+            partition_file,
+            params.partition_name,
+            partition_column=params.partition_column,
+        )
+    else:
+        train_ds, val_ds = dataset.split_train_val(
+            val_frac=params.val_frac,
+            spatial_balance=params.spatial_partitions is not None,
+        )
     train_ds.augment_prob = params.augment_prob
 
     train_sharding = None
@@ -333,11 +358,17 @@ def fit(
         )
 
     norm_stats = None
+    hbm_cache = None
     if params.use_chipstore:
-        # Fast path: C++ chipstore streams raw int16 chips; scaling,
-        # augmentation (device dihedral), and normalization all run inside
-        # the compiled step. Host augmenters don't apply here.
+        # Fast path: raw int16 chips; scaling, augmentation (device
+        # dihedral), and normalization all run inside the compiled step.
+        # Host augmenters don't apply here. Mode selection
+        # (config.py use_chipstore): True/'stream' = C++ chipstore
+        # streaming; 'hbm' = device-resident dataset (data/device_cache.py,
+        # per-step host traffic is a (B,) index vector); 'auto' = 'hbm'
+        # when the split fits the HBM budget, else streaming.
         from ..data.chipstore import ChipstoreLoader
+        from ..data.device_cache import DeviceChipCache
 
         assert not train_ds.log_transform, (
             "use_chipstore does not support log_transform"
@@ -350,19 +381,48 @@ def fit(
         if train_ds.norm_values is not None:
             nv = train_ds.norm_values
             norm_stats = (nv.dataset_mean, nv.dataset_std)
-        cache_dir = (
-            Path(params.ckpt_file).parent
-            if params.ckpt_file is not None
-            else Path(train_ds.root) / "cache"
-        )
-        train_loader = ChipstoreLoader(
-            train_ds,
-            batch_size=loader_batch_size,
-            cache_path=cache_dir / "train.cts",
-            seed=params.random_seed,
-            num_threads=max(2, params.load_batch_workers),
-            sharding=train_sharding,
-        )
+
+        mode = params.use_chipstore
+        want_hbm = mode in ("hbm", "auto")
+        if want_hbm and jax.process_count() > 1:
+            logger.warning(
+                "use_chipstore='hbm' is single-host only (each process "
+                "holds a file stripe); falling back to streaming"
+            )
+            want_hbm = False
+        if want_hbm and (
+            mode == "hbm" or DeviceChipCache.fits(train_ds)
+        ):
+            mesh_early = None
+            if params.devices > 1:
+                from ..parallel import create_mesh as _create_mesh
+
+                mesh_early = _create_mesh(params.devices)
+            hbm_cache = DeviceChipCache(
+                train_ds,
+                batch_size=loader_batch_size,
+                seed=params.random_seed,
+                mesh=mesh_early,
+            )
+            logger.info(
+                f"device-resident dataset: {hbm_cache.num_chips} chips, "
+                f"{hbm_cache.resident_bytes / 1e6:.0f} MB in HBM"
+            )
+            train_loader = hbm_cache
+        else:
+            cache_dir = (
+                Path(params.ckpt_file).parent
+                if params.ckpt_file is not None
+                else Path(train_ds.root) / "cache"
+            )
+            train_loader = ChipstoreLoader(
+                train_ds,
+                batch_size=loader_batch_size,
+                cache_path=cache_dir / "train.cts",
+                seed=params.random_seed,
+                num_threads=max(2, params.load_batch_workers),
+                sharding=train_sharding,
+            )
     else:
         train_loader = ChipLoader(
             train_ds,
@@ -479,6 +539,25 @@ def fit(
         state_shardings=state_shardings,
         norm_stats=norm_stats,
     )
+    if hbm_cache is not None:
+        # Device-resident path: the loader yields (B,) index batches; the
+        # compiled step gathers chip rows from the resident arrays.
+        from .step import make_hbm_train_step
+
+        _hbm_step = make_hbm_train_step(
+            mesh=mesh,
+            state_shardings=state_shardings,
+            loss_name=params.loss_name,
+            edge_class=params.edge_class,
+            precision=params.compute_precision,
+            device_augment=params.device_augment,
+            device_augment_noise=params.device_augment_noise,
+            class_weights=_resolve_class_weights(params),
+            norm_stats=norm_stats,
+        )
+
+        def train_step(state, batch, rng):  # noqa: F811
+            return _hbm_step(state, hbm_cache.arrays, batch.indices, rng)
     # Partial validation batches can't shard evenly over the mesh; they run
     # through an unsharded eval step (replicated state works as-is).
     eval_step_fallback = (
@@ -513,6 +592,7 @@ def fit(
             train_rows.append((batch.num_samples, logs))
 
         val_rows = []
+        batch_metric_rows = []
         for batch_idx, batch in enumerate(val_loader):
             if mesh is not None and batch.num_samples % params.devices == 0:
                 batch = shard_batch(batch, mesh)
@@ -524,9 +604,9 @@ def fit(
             if params.save_batch_val_metrics and params.ckpt_file is not None:
                 # Per-VAL-BATCH rows, the reference's
                 # ``batch_metrics.parquet`` (lightning.py:512-534); CSV
-                # fallback when no parquet engine is installed.
-                _append_batch_metrics(
-                    Path(params.ckpt_file).parent,
+                # fallback when no parquet engine is installed. Buffered
+                # for the epoch — one file write per epoch.
+                batch_metric_rows.append(
                     {
                         "epoch": epoch,
                         "batch": batch_idx,
@@ -535,8 +615,12 @@ def fit(
                             k: float(v)
                             for k, v in val_rows[-1][1].items()
                         },
-                    },
+                    }
                 )
+        if batch_metric_rows:
+            _append_batch_metrics(
+                Path(params.ckpt_file).parent, batch_metric_rows
+            )
 
         train_metrics = _mean_metrics(train_rows)
         val_metrics = _mean_metrics(val_rows)
@@ -599,9 +683,23 @@ def fit(
 
     if swa_params is not None:
         state = state.replace(params=swa_params)
+        bn_loader = train_loader
+        if hbm_cache is not None:
+            # BN refit over the resident arrays: eager device gathers
+            # yield real batches from the index iterator.
+            from ..data.device_cache import gather_batch
+
+            class _HbmBatches:
+                def __iter__(self_inner):
+                    for ib in hbm_cache:
+                        yield gather_batch(
+                            hbm_cache.arrays, jnp.asarray(ib.indices)
+                        )
+
+            bn_loader = _HbmBatches()
         state = _reestimate_batch_stats(
             state,
-            train_loader,
+            bn_loader,
             params.compute_precision,
             norm_stats=norm_stats,
         )
@@ -618,9 +716,20 @@ def fit(
         test_loader = ChipLoader(
             params.test_dataset, batch_size=params.batch_size
         )
-        test_rows = [
-            (b.num_samples, eval_step(state, b)) for b in test_loader
-        ]
+        # Same sharding rule as the val loop: mesh-shard only batches
+        # divisible by the device count; route the indivisible remainder
+        # through the unsharded fallback step instead of raising at
+        # dispatch.
+        test_rows = []
+        for b in test_loader:
+            if mesh is not None and b.num_samples % params.devices == 0:
+                test_rows.append(
+                    (b.num_samples, eval_step(state, shard_batch(b, mesh)))
+                )
+            else:
+                test_rows.append(
+                    (b.num_samples, eval_step_fallback(state, b))
+                )
         test_metrics = _mean_metrics(test_rows)
         out_path = Path(params.ckpt_file).parent / "test.metrics"
         out_path.write_text(json.dumps(test_metrics, indent=2))

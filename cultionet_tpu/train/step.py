@@ -199,6 +199,16 @@ def make_train_step(
         # int16-packed chipstore batches dequantize on device (trace-time
         # no-op for float batches) — half the host->HBM transfer bytes.
         batch = batch.dequantize()
+        if norm_stats is not None:
+            # Match the host pipeline's ChipDataset._scale clip (reference
+            # datasets.py:443-446): raw chipstore records clip to
+            # [1e-9, 1] BEFORE augmentation so train inputs see the same
+            # range as host-loaded val batches.
+            batch = batch.replace(x=jnp.clip(batch.x, 1e-9, 1.0))
+            if batch.bdist is not None:
+                batch = batch.replace(
+                    bdist=jnp.clip(batch.bdist, 1e-9, 1.0)
+                )
         if device_augment or device_augment_noise > 0:
             from ..augment.device import augment_batch_on_device
 
@@ -254,6 +264,45 @@ def make_train_step(
         return jitted(state, strip_static(batch), rng)
 
     return wrapped
+
+
+def make_hbm_train_step(
+    mesh=None,
+    state_shardings=None,
+    **train_kwargs,
+):
+    """Train step over a device-resident dataset (data/device_cache.py):
+    ``step(state, arrays, idx, rng)`` gathers the (B,) chip rows from the
+    resident int16 arrays INSIDE the compiled program, then runs the
+    normal dequantize -> clip -> augment -> normalize -> fwd/bwd/update
+    pipeline. Per-step host traffic is the index vector (~4B bytes), so
+    end-to-end throughput equals the step rate on any host.
+
+    With ``mesh``, arrays are replicated, the index vector is sharded over
+    the data axis, and GSPMD partitions the gather so each device
+    assembles only its own sub-batch.
+    """
+    from ..data.device_cache import gather_batch
+
+    inner = make_train_step(jit=False, **train_kwargs)
+
+    def step(state, arrays, idx, rng):
+        return inner(state, gather_batch(arrays, idx), rng)
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    repl = NamedSharding(mesh, PartitionSpec())
+    data = NamedSharding(mesh, PartitionSpec("data"))
+    s_state = state_shardings if state_shardings is not None else repl
+    return jax.jit(
+        step,
+        in_shardings=(s_state, repl, data, repl),
+        out_shardings=(s_state, repl),
+        donate_argnums=(0,),
+    )
 
 
 def evaluate_predictions(

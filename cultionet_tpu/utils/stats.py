@@ -227,6 +227,18 @@ class Quantile(Stat):
     def quantiles(self, q: T.Union[float, T.Sequence[float]]) -> np.ndarray:
         """Per-channel weighted quantiles over all compactor levels."""
         q_arr = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        if self.count == 0 or not any(
+            buf.shape[0] for buf in self._levels
+        ):
+            # Empty sketch (e.g. a resume path loading pre-add cached
+            # state): defined result instead of a concatenate crash.
+            if self._sum is None:
+                raise ValueError(
+                    "Quantile.quantiles() called before any add() — "
+                    "the sketch is empty and has no channel count"
+                )
+            out = np.full((len(q_arr), self._sum.shape[0]), np.nan)
+            return out if np.ndim(q) else out[0]
         values = np.concatenate(self._levels, axis=0)  # (n, C)
         weights = np.concatenate(
             [

@@ -214,9 +214,10 @@ def test_fit_with_chipstore_fast_path(tmp_path):
     result = fit(params)
     assert len(result.history) == 2
     assert all(np.isfinite(row["loss"]) for row in result.history)
-    # the packed store was cached next to the checkpoints and is reused
-    store_file = tmp_path / "ckpt" / "train.cts"
-    assert store_file.exists()
-    mtime = store_file.stat().st_mtime
+    # the packed store was cached next to the checkpoints (name carries
+    # the membership hash + process index) and is reused
+    stores = list((tmp_path / "ckpt").glob("train-*.cts"))
+    assert len(stores) == 1
+    mtime = stores[0].stat().st_mtime
     fit(params)  # resume/second run must not rebuild the store
-    assert store_file.stat().st_mtime == mtime
+    assert stores[0].stat().st_mtime == mtime
