@@ -24,7 +24,12 @@ class CultionetParams:
     dataset: T.Any = None
     test_dataset: T.Any = None
     val_frac: float = 0.2
+    # 'spatial' = balanced quadtree val sample; a file path = user
+    # partition polygons (with partition_name selecting the val region)
     spatial_partitions: T.Optional[str] = None
+    partition_name: T.Optional[str] = None
+    partition_column: str = "name"
+
     batch_size: int = 4
     load_batch_workers: int = 2
     edge_class: int = 2
@@ -34,10 +39,13 @@ class CultionetParams:
     # compiled train step (augment/device.py) instead of host workers.
     device_augment: bool = False
     device_augment_noise: float = 0.0
-    # Stream training batches from a packed int16 chipstore assembled by
-    # C++ worker threads; dequantize + augment + normalize happen inside
-    # the compiled step (the fast path — closes the loader/step gap).
-    use_chipstore: bool = False
+    # Raw int16 training-batch fast path: dequantize + augment + normalize
+    # run inside the compiled step. True/'stream' = C++ chipstore streaming
+    # (zero-copy slot ring); 'hbm' = device-resident dataset (the whole
+    # packed train split uploaded to HBM once, per-step host traffic is a
+    # (B,) index vector — e2e rate == step rate); 'auto' = 'hbm' when the
+    # split fits the HBM budget, else streaming.
+    use_chipstore: T.Union[bool, str] = False
 
     # Model
     in_channels: T.Optional[int] = None
