@@ -114,13 +114,23 @@ def _temporal_axis_attention(
 ) -> Array:
     """Multi-head attention over the T axis of (B, T, H, W, C) tensors.
 
-    TPU layout hazard: any materialized attention-weights tensor here has
-    tiny T/S (~12) dims, and XLA's layout assignment insists on placing
-    them on the (8, 128) tile minors — a ~14x padding blowup (~10 GB at
-    B=32, 100x100) regardless of einsum orientation. The transient is
-    bounded by scanning BATCH CHUNKS with rematerialization: ~1.2 GB live
-    per 4-sample chunk, recomputed in the backward.
+    On TPU this dispatches to the lane-packed Pallas kernel
+    (ops/temporal_pallas.py): zero tile padding, flash-style backward —
+    the fix for the XLA layout hazard below.
+
+    XLA-fallback layout hazard: any materialized attention-weights tensor
+    here has tiny T/S (~12) dims, and XLA's layout assignment insists on
+    placing them on the (8, 128) tile minors — a ~14x padding blowup
+    (~10 GB at B=32, 100x100) regardless of einsum orientation. The
+    transient is bounded by scanning BATCH CHUNKS with rematerialization:
+    ~1.2 GB live per 4-sample chunk, recomputed in the backward.
     """
+    from ..ops.flags import pallas_temporal_enabled
+    from ..ops.temporal_pallas import supported, temporal_attention_pallas
+
+    if pallas_temporal_enabled() and supported(q.shape[-1]):
+        return temporal_attention_pallas(q, k, v, num_heads)
+
     b = q.shape[0]
     if b > batch_chunk:
         chunk = next(
@@ -172,8 +182,15 @@ class TemporalTransformer(nn.Module):
 
     Tokens are per-(pixel, time) channel vectors projected to ``d_model``,
     plus sinusoidal time encodings; ``num_layers`` pre-LN transformer blocks
-    run over the T axis (pixel-minor attention layout — see
-    ``_tiny_t_attention``); a learned query pools T -> 1.
+    run over the T axis (Pallas lane-packed kernel on TPU, batch-chunked
+    XLA fallback elsewhere); a learned query pools T -> 1.
+
+    Dropout semantics (intentional deviation from the pre-r2 flax
+    MultiHeadDotProductAttention variant): ``dropout`` applies to the
+    post-projection attention output, NOT to the softmax weights, and the
+    pooling attention carries no dropout — this keeps the attention core a
+    single fused kernel. Checkpoints from before this rewrite use a
+    different parameter tree and do not restore.
     """
 
     out_channels: int

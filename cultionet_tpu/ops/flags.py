@@ -29,3 +29,27 @@ def pallas_natten_enabled() -> bool:
         return jax.devices()[0].platform == "tpu"
     except RuntimeError:
         return False
+
+
+_USE_PALLAS_TEMPORAL: T.Optional[bool] = None
+
+
+def set_pallas_temporal(enabled: T.Optional[bool]) -> None:
+    """Force the Pallas temporal-attention kernel on/off (None = auto:
+    env CULTIONET_TPU_PALLAS_TEMPORAL, else TPU-platform default)."""
+    global _USE_PALLAS_TEMPORAL
+    _USE_PALLAS_TEMPORAL = enabled
+
+
+def pallas_temporal_enabled() -> bool:
+    if _USE_PALLAS_TEMPORAL is not None:
+        return _USE_PALLAS_TEMPORAL
+    env = os.environ.get("CULTIONET_TPU_PALLAS_TEMPORAL")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
