@@ -186,7 +186,9 @@ class Batch:
     # Serialization: .npz native format + reference-compatible .pt reader
     # ------------------------------------------------------------------
 
-    def to_file(self, path: T.Union[str, Path]) -> None:
+    def to_file(
+        self, path: T.Union[str, Path], compression: str = "zlib"
+    ) -> None:
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
         payload = {}
@@ -196,7 +198,10 @@ class Batch:
             payload[name] = np.asarray(value)
         if self.batch_id is not None:
             payload["batch_id"] = np.asarray(list(self.batch_id))
-        np.savez_compressed(path, **payload)
+        # compression='none' trades disk for write speed (reference
+        # args.yml compression knob; its joblib default is zlib too)
+        save = np.savez if compression == "none" else np.savez_compressed
+        save(path, **payload)
 
     @classmethod
     def from_file(cls, path: T.Union[str, Path]) -> "Batch":

@@ -70,13 +70,14 @@ class ReferenceArrays:
         keep_crop_classes: bool = False,
         nonag_is_unknown: bool = False,
         geom_type: str = "Polygon",
+        all_touched: bool = True,
     ) -> "ReferenceArrays":
         # Unique id per polygon (instance raster)
         unique_shapes = [
             (poly, idx + 1) for idx, (poly, _) in enumerate(polygons)
         ]
         labels_array_unique = polygons_to_array(
-            unique_shapes, bounds, out_shape
+            unique_shapes, bounds, out_shape, all_touched=all_touched
         )
 
         fill_value, dtype = 0, "uint8"
@@ -85,7 +86,12 @@ class ReferenceArrays:
             fill_value, dtype = -1, "int16"
 
         labels_array = polygons_to_array(
-            polygons, bounds, out_shape, fill_value=fill_value, dtype=dtype
+            polygons,
+            bounds,
+            out_shape,
+            fill_value=fill_value,
+            dtype=dtype,
+            all_touched=all_touched,
         )
 
         # Polygon boundaries: morphological gradient of the instance raster
@@ -167,8 +173,17 @@ def create_train_batch(
     keep_crop_classes: bool = False,
     nonag_is_unknown: bool = False,
     overwrite: bool = False,
+    all_touched: bool = True,
+    zero_padding: int = 0,
+    grid_size: T.Optional[T.Tuple[int, int]] = None,
 ) -> T.Optional[Path]:
-    """Build one training chip and write it (reference data/create.py:559-778)."""
+    """Build one training chip and write it (reference data/create.py:559-778).
+
+    ``grid_size`` asserts the chip dims match the expected (rows, cols)
+    (reference create.py:438-458 — a guard against mixed-size grids);
+    ``zero_padding`` pads H/W with zeros on every side (reference args.yml
+    zero_padding); ``all_touched`` controls polygon rasterization.
+    """
     process_path = Path(process_path)
     process_path.mkdir(parents=True, exist_ok=True)
     if edge_class is None:
@@ -181,6 +196,13 @@ def create_train_batch(
 
     x = prepare_image_time_series(image_time_series, gain=gain, offset=offset)
     num_time, height, width, _ = x.shape
+    if grid_size is not None:
+        expected_rows, expected_cols = grid_size
+        if (height, width) != (int(expected_rows), int(expected_cols)):
+            raise ValueError(
+                f"Grid {region} is {height} rows x {width} columns, but "
+                f"--grid-size expects {expected_rows} x {expected_cols}"
+            )
 
     if polygons:
         ref = ReferenceArrays.from_polygons(
@@ -192,6 +214,7 @@ def create_train_batch(
             cell_res=cell_res,
             keep_crop_classes=keep_crop_classes,
             nonag_is_unknown=nonag_is_unknown,
+            all_touched=all_touched,
         )
         labels = ref.labels_array
         bdist = ref.boundary_distance
@@ -199,6 +222,24 @@ def create_train_batch(
         fill = -1 if nonag_is_unknown else 0
         labels = np.full((height, width), fill, dtype="int16")
         bdist = np.zeros((height, width), dtype="float32")
+
+    if zero_padding > 0:
+        pad = int(zero_padding)
+        x = np.pad(
+            x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="constant"
+        )
+        fill = -1 if nonag_is_unknown else 0
+        labels = np.pad(
+            labels, ((pad, pad), (pad, pad)), constant_values=fill
+        )
+        bdist = np.pad(bdist, ((pad, pad), (pad, pad)))
+        left_pad = pad * cell_res
+        bounds = (
+            bounds[0] - left_pad,
+            bounds[1] - left_pad,
+            bounds[2] + left_pad,
+            bounds[3] + left_pad,
+        )
 
     left, bottom, right, top = bounds
     train_id = f"data_{region}_{start_date}_{end_date}_none"

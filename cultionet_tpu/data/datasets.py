@@ -35,6 +35,7 @@ class ChipDataset:
         log_transform: bool = False,
         random_seed: int = 42,
         files: T.Optional[T.Sequence[Path]] = None,
+        preload: bool = False,
     ):
         self.root = Path(root)
         self.pattern = pattern
@@ -60,6 +61,10 @@ class ChipDataset:
                 list(search_dir.glob(f"{pattern}.npz"))
                 + list(search_dir.glob(f"{pattern}.pt"))
             )
+        # --preload-data (reference args.yml preload_data): cache raw
+        # chips in RAM so epoch loading skips file IO.
+        self.preload = bool(preload)
+        self._cache: T.Dict[Path, Batch] = {}
 
     # ------------------------------------------------------------------
 
@@ -80,6 +85,7 @@ class ChipDataset:
             log_transform=self.log_transform,
             random_seed=self.random_seed,
             files=files,
+            preload=self.preload,
         )
 
     def shuffle(self, rng: T.Optional[np.random.Generator] = None):
@@ -106,6 +112,19 @@ class ChipDataset:
         return np.clip(arr.astype(np.float32), clip_min, clip_max)
 
     def load_file(self, path: Path) -> Batch:
+        if self.preload:
+            cached = self._cache.get(path)
+            if cached is None:
+                cached = Batch.from_file(path)
+                self._cache[path] = cached
+            # defensive array copies: augmenters must not touch the cache
+            return cached.replace(
+                x=np.array(cached.x),
+                y=None if cached.y is None else np.array(cached.y),
+                bdist=(
+                    None if cached.bdist is None else np.array(cached.bdist)
+                ),
+            )
         return Batch.from_file(path)
 
     def __getitem__(self, idx: int) -> Batch:
@@ -182,6 +201,93 @@ class ChipDataset:
         val_ds = self._subset(val_files)
         val_ds.augment_prob = 0.0  # no augmentation on validation
         return self._subset(train_files), val_ds
+
+    # -- named spatial partitions (reference datasets.py:177-259) -------
+
+    def get_spatial_partitions(
+        self, spatial_partitions: T.Union[str, Path]
+    ) -> T.List[T.Tuple[str, T.Any]]:
+        """Load a user partition polygon file (GeoPackage or GeoJSON) as
+        (partition attributes, exterior ring) features. Partition
+        coordinates must share the chips' CRS (the reference reprojects
+        via geopandas; no GDAL here).
+        """
+        from .vector import read_feature_table
+
+        self.spatial_partitions = read_feature_table(spatial_partitions)
+        return self.spatial_partitions
+
+    def query_partition_by_name(
+        self,
+        partition_column: str,
+        partition_name: str,
+    ) -> T.List[int]:
+        """Chip indices whose centroid falls inside the named partition
+        polygon(s) (reference datasets.py:202-237)."""
+        from .vector import points_in_ring
+
+        assert getattr(self, "spatial_partitions", None) is not None, (
+            "call get_spatial_partitions(file) first"
+        )
+        rings = [
+            ring
+            for ring, props in self.spatial_partitions
+            if str(props.get(partition_column)) == str(partition_name)
+        ]
+        if not rings:
+            return []
+        points = self.centroids()
+        inside = np.zeros(len(points), dtype=bool)
+        for ring in rings:
+            inside |= points_in_ring(points, ring)
+        return np.nonzero(inside)[0].tolist()
+
+    def split_by_partition(
+        self,
+        spatial_partitions: T.Union[str, Path],
+        partition_name: str,
+        partition_column: str = "name",
+    ) -> T.Tuple["ChipDataset", "ChipDataset"]:
+        """Train/val split by a named partition: chips inside the named
+        polygon(s) validate, the rest train (reference split_indices,
+        datasets.py:239-258)."""
+        self.get_spatial_partitions(spatial_partitions)
+        val_idx = self.query_partition_by_name(
+            partition_column, partition_name
+        )
+        if not val_idx:
+            raise ValueError(
+                f"Partition {partition_name!r} contains no chips"
+            )
+        val_mask = np.zeros(len(self.files), dtype=bool)
+        val_mask[val_idx] = True
+        train_files = [f for f, v in zip(self.files, val_mask) if not v]
+        val_files = [f for f, v in zip(self.files, val_mask) if v]
+        val_ds = self._subset(val_files)
+        val_ds.augment_prob = 0.0
+        return self._subset(train_files), val_ds
+
+    def partition_kfoldcv_iter(
+        self,
+        spatial_partitions: T.Union[str, Path],
+        partition_column: str = "name",
+    ) -> T.Iterator[T.Tuple[str, "ChipDataset", "ChipDataset"]]:
+        """Yield one fold per named partition polygon (reference
+        spatial_kfoldcv_iter over partitions, datasets.py:259-273)."""
+        self.get_spatial_partitions(spatial_partitions)
+        names = []
+        for _, props in self.spatial_partitions:
+            name = props.get(partition_column)
+            if name is not None and name not in names:
+                names.append(name)
+        for name in names:
+            try:
+                train_ds, val_ds = self.split_by_partition(
+                    spatial_partitions, name, partition_column
+                )
+            except ValueError:
+                continue
+            yield str(name), train_ds, val_ds
 
     def spatial_kfoldcv_iter(
         self, k: int, rng: T.Optional[np.random.Generator] = None

@@ -212,12 +212,18 @@ def polygons_to_array(
     out_shape: T.Tuple[int, int],
     fill_value: int = 0,
     dtype: str = "uint8",
+    all_touched: bool = True,
 ) -> np.ndarray:
     """Burn polygons into a raster (reference data/utils.py:272-319).
 
     ``shapes`` is a sequence of (polygon, value) where polygon is either an
     (N, 2) array of exterior-ring world coordinates or a dict
     {"exterior": (N, 2), "holes": [(M, 2), ...]}.
+
+    ``all_touched`` (reference rasterize flag, default True there and
+    here): additionally burn every pixel the polygon OUTLINE touches, not
+    just pixels whose center falls inside — approximated by drawing the
+    ring with a 1-px polyline on top of the fill.
     """
     if dtype == "uint8" and shapes:
         if max(int(v) for _, v in shapes) > 255:
@@ -237,7 +243,12 @@ def polygons_to_array(
 
         mask = np.zeros(out_shape, dtype=np.uint8)
         ext_px = world_to_pixel(exterior, bounds, out_shape)
-        cv2.fillPoly(mask, [np.round(ext_px).astype(np.int32)], 1)
+        ext_i32 = np.round(ext_px).astype(np.int32)
+        cv2.fillPoly(mask, [ext_i32], 1)
+        if all_touched:
+            cv2.polylines(
+                mask, [ext_i32], isClosed=True, color=1, thickness=1
+            )
         for hole in holes:
             hole_px = world_to_pixel(hole, bounds, out_shape)
             cv2.fillPoly(mask, [np.round(hole_px).astype(np.int32)], 0)

@@ -22,9 +22,12 @@ _CLASS_KEYS = ("class", "crop_class", "class_value", "value", "DN", "id")
 _CLASS_KEYS_LOWER = tuple(k.lower() for k in _CLASS_KEYS)
 
 
-def _feature_class(properties: T.Optional[dict]) -> int:
+def _feature_class(
+    properties: T.Optional[dict], class_column: T.Optional[str] = None
+) -> int:
     if properties:
-        for key in _CLASS_KEYS:
+        keys = [class_column] if class_column else _CLASS_KEYS
+        for key in keys:
             if key in properties and properties[key] is not None:
                 try:
                     return int(properties[key])
@@ -51,9 +54,13 @@ def _rings_from_geometry(geometry: dict) -> T.List[Ring]:
     return []
 
 
-def parse_geojson(source: T.Union[str, Path, dict]) -> Shapes:
+def parse_geojson(
+    source: T.Union[str, Path, dict],
+    class_column: T.Optional[str] = None,
+) -> Shapes:
     """(ring, class_value) pairs from a GeoJSON FeatureCollection /
-    Feature / bare geometry."""
+    Feature / bare geometry. ``class_column`` pins the class attribute
+    (reference --crop-column); default auto-detects common names."""
     if isinstance(source, (str, Path)):
         source = json.loads(Path(source).read_text())
 
@@ -61,12 +68,12 @@ def parse_geojson(source: T.Union[str, Path, dict]) -> Shapes:
     if gtype == "FeatureCollection":
         shapes: Shapes = []
         for feature in source.get("features", []):
-            value = _feature_class(feature.get("properties"))
+            value = _feature_class(feature.get("properties"), class_column)
             for ring in _rings_from_geometry(feature.get("geometry") or {}):
                 shapes.append((ring, value))
         return shapes
     if gtype == "Feature":
-        value = _feature_class(source.get("properties"))
+        value = _feature_class(source.get("properties"), class_column)
         return [
             (ring, value)
             for ring in _rings_from_geometry(source.get("geometry") or {})
@@ -93,10 +100,25 @@ def filter_by_bounds(
     return kept
 
 
+def apply_replace_dict(
+    shapes: T.Optional[Shapes], replace_dict: T.Optional[T.Dict[int, int]]
+) -> T.Optional[Shapes]:
+    """Recode polygon class values (reference ``--replace-dict`` /
+    create.py:575-577, e.g. {61: 0, 141: 1} to collapse CDL codes)."""
+    if shapes is None or not replace_dict:
+        return shapes
+    return [
+        (ring, int(replace_dict.get(int(cls), int(cls))))
+        for ring, cls in shapes
+    ]
+
+
 def read_region_polygons(
     region_path: T.Union[str, Path],
     bounds: T.Optional[T.Tuple[float, float, float, float]] = None,
     project_path: T.Optional[T.Union[str, Path]] = None,
+    class_column: T.Optional[str] = None,
+    replace_dict: T.Optional[T.Dict[int, int]] = None,
 ) -> T.Optional[Shapes]:
     """Polygons for one region, first match wins:
 
@@ -108,21 +130,31 @@ def read_region_polygons(
     5. ``<project>/polygons.geojson`` — project-wide GeoJSON, bbox-clipped
        to the region bounds (the reference's per-grid clip of the shared
        training-polygon layer)
+
+    ``class_column`` selects the vector attribute carrying the crop class
+    (reference ``--crop-column``, default auto-detected); ``replace_dict``
+    recodes class values after reading.
     """
+
+    def done(shapes):
+        return apply_replace_dict(shapes, replace_dict)
+
     region_path = Path(region_path)
     native = region_path / "polygons.json"
     if native.is_file():
         raw = json.loads(native.read_text())
-        return [
-            (np.asarray(ring, dtype="float64"), int(value))
-            for ring, value in raw
-        ]
+        return done(
+            [
+                (np.asarray(ring, dtype="float64"), int(value))
+                for ring, value in raw
+            ]
+        )
     regional = region_path / "polygons.geojson"
     if regional.is_file():
-        return parse_geojson(regional)
+        return done(parse_geojson(regional, class_column=class_column))
     regional_gpkg = region_path / "polygons.gpkg"
     if regional_gpkg.is_file():
-        return read_gpkg(regional_gpkg)
+        return done(read_gpkg(regional_gpkg, class_column=class_column))
     if project_path is not None:
         user_train = Path(project_path) / "user_train"
         if user_train.is_dir():
@@ -130,13 +162,15 @@ def read_region_polygons(
                 user_train.glob(f"{region_path.name}_poly_*.gpkg")
             )
             if matches:
-                return read_gpkg(matches[0])
+                return done(
+                    read_gpkg(matches[0], class_column=class_column)
+                )
         shared = Path(project_path) / "polygons.geojson"
         if shared.is_file():
-            shapes = parse_geojson(shared)
+            shapes = parse_geojson(shared, class_column=class_column)
             if bounds is not None:
                 shapes = filter_by_bounds(shapes, bounds)
-            return shapes
+            return done(shapes)
     return None
 
 
@@ -260,3 +294,78 @@ def read_gpkg(
         return shapes
     finally:
         con.close()
+
+
+def read_feature_table(
+    path: T.Union[str, Path],
+) -> T.List[T.Tuple[Ring, dict]]:
+    """(exterior ring, attributes dict) pairs from a GeoPackage feature
+    table or GeoJSON file — the general-attribute variant of read_gpkg/
+    parse_geojson, used for named spatial partitions (reference
+    datasets.py:177-259 reads these with geopandas)."""
+    path = Path(path)
+    if path.suffix.lower() in (".json", ".geojson"):
+        source = json.loads(path.read_text())
+        features = []
+        if source.get("type") == "FeatureCollection":
+            items = source.get("features", [])
+        elif source.get("type") == "Feature":
+            items = [source]
+        else:
+            items = [{"geometry": source, "properties": {}}]
+        for feature in items:
+            props = dict(feature.get("properties") or {})
+            for ring in _rings_from_geometry(feature.get("geometry") or {}):
+                features.append((ring, props))
+        return features
+
+    con = sqlite3.connect(str(path))
+    try:
+        cur = con.cursor()
+        tables = cur.execute(
+            "SELECT table_name FROM gpkg_contents WHERE data_type='features'"
+        ).fetchall()
+        if not tables:
+            raise ValueError(f"No feature tables in {path}")
+        table = tables[0][0]
+        (geom_col,) = cur.execute(
+            "SELECT column_name FROM gpkg_geometry_columns "
+            "WHERE table_name=?",
+            (table,),
+        ).fetchone()
+        columns = [
+            row[1]
+            for row in cur.execute(f"PRAGMA table_info('{table}')").fetchall()
+        ]
+        attr_cols = [c for c in columns if c != geom_col]
+        select = ", ".join(
+            [f'"{geom_col}"'] + [f'"{c}"' for c in attr_cols]
+        )
+        features = []
+        for row in cur.execute(f'SELECT {select} FROM "{table}"'):
+            blob = row[0]
+            if blob is None:
+                continue
+            props = dict(zip(attr_cols, row[1:]))
+            for ring in _parse_wkb_rings(_strip_gpkg_header(bytes(blob))):
+                features.append((ring, props))
+        return features
+    finally:
+        con.close()
+
+
+def points_in_ring(points: np.ndarray, ring: Ring) -> np.ndarray:
+    """Vectorized ray-casting point-in-polygon: (N, 2) points against one
+    exterior ring -> (N,) bool (the centroid-in-partition test the
+    reference does with geopandas overlay, datasets.py:211-214)."""
+    points = np.asarray(points, dtype="float64")
+    x, y = points[:, 0], points[:, 1]
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    inside = np.zeros(len(points), dtype=bool)
+    for ax, ay, bx, by in zip(x0, y0, x1, y1):
+        crosses = (ay > y) != (by > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = ax + (y - ay) / (by - ay) * (bx - ax)
+        inside ^= crosses & (x < xint)
+    return inside

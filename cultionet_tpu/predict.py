@@ -231,6 +231,7 @@ class ScenePredictor:
         out_path: T.Union[str, Path],
         reference_profile: T.Optional[dict] = None,
         crs: T.Optional[str] = None,
+        reference_image: T.Optional[T.Union[str, Path]] = None,
     ) -> Path:
         """Stitch and write the 3-band uint16 x 10000 raster.
 
@@ -239,12 +240,27 @@ class ScenePredictor:
         (e.g. "EPSG:32633") comes from the scene manifest or the caller;
         both land in the GeoTIFF profile — or in the ``.npz`` fallback as
         ``bounds`` / ``transform`` / ``crs`` entries.
+
+        ``reference_image``: derive the output profile (bounds + CRS) from
+        a source GeoTIFF instead — the reference's ``reference_image`` ->
+        ``LightningGTiffWriter`` flow (callbacks.py:85-107), read via
+        rasterio or the pure-python GeoKey parser.
         """
+        ref_bounds = None
+        if reference_image is not None:
+            from .data.geotiff import read_tiff_band
+
+            _, ref_bounds, _, ref_crs = read_tiff_band(reference_image)
+            if crs is None:
+                crs = ref_crs
+
         raster, (scene_h, scene_w) = self.predict_windows(dataset)
         packed = np.clip(raster * SCALE_FACTOR, 0, 65535).astype("uint16")
         packed = np.moveaxis(packed, -1, 0)  # (3, H, W)
 
         bounds = getattr(self, "_scene_bounds", None)
+        if ref_bounds is not None:
+            bounds = ref_bounds
         transform_gdal = None
         if bounds is not None:
             left, bottom, right, top = bounds

@@ -113,12 +113,19 @@ def read_project_config(ppaths: ProjectPaths) -> dict:
 def load_scene(
     region_path: Path,
     window: T.Optional[dict] = None,
+    ref_res: T.Optional[float] = None,
+    resampling: str = "nearest",
+    date_format: T.Optional[str] = None,
+    class_column: T.Optional[str] = None,
+    replace_dict: T.Optional[T.Dict[int, int]] = None,
 ) -> T.Tuple[np.ndarray, tuple, float, T.Optional[str], T.Optional[list]]:
     """Load a region scene: scene.npz (+ polygons.json). Falls back to the
     GeoTIFF time-series reader (data/geotiff.py — rasterio or pure-python).
     ``crs`` (e.g. "EPSG:32633") propagates to the output raster profile at
     predict time; ``window`` carries the seasonal tif window
-    (end_year/start_mmdd/end_mmdd/num_months) when reading from tifs."""
+    (end_year/start_mmdd/end_mmdd/num_months) when reading from tifs;
+    ``ref_res``/``resampling`` resample mixed-resolution bands onto one
+    grid (reference create.py:568-570)."""
     scene_file = region_path / "scene.npz"
     crs = None
     if scene_file.is_file():
@@ -132,7 +139,11 @@ def load_scene(
         from ..data.geotiff import read_time_series
 
         x, bounds, cell_res, crs = read_time_series(
-            region_path, **(window or {})
+            region_path,
+            ref_res=ref_res,
+            resampling=resampling,
+            date_format=date_format,
+            **(window or {}),
         )
 
     from ..data.vector import read_region_polygons
@@ -141,6 +152,8 @@ def load_scene(
         region_path,
         bounds=bounds,
         project_path=region_path.parent.parent,
+        class_column=class_column,
+        replace_dict=replace_dict,
     )
     return x, bounds, cell_res, crs, polygons
 
@@ -158,8 +171,10 @@ def scene_crs(ppaths: ProjectPaths, region: T.Optional[str]) -> T.Optional[str]:
     return None
 
 
-def iter_regions(ppaths: ProjectPaths, regions) -> T.List[Path]:
-    base = ppaths.image_path
+def iter_regions(
+    ppaths: ProjectPaths, regions, base: T.Optional[Path] = None
+) -> T.List[Path]:
+    base = base if base is not None else ppaths.image_path
     if regions:
         return [base / r for r in regions]
     if not base.is_dir():
@@ -190,6 +205,20 @@ def read_classes_info(ppaths: ProjectPaths) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _parse_replace_dict(
+    tokens: T.Optional[T.Sequence[str]],
+) -> T.Optional[T.Dict[int, int]]:
+    """'61:0 141:1' -> {61: 0, 141: 1} (reference replace_dict parsing,
+    scripts/cultionet.py)."""
+    if not tokens:
+        return None
+    mapping: T.Dict[int, int] = {}
+    for token in tokens:
+        src, dst = str(token).split(":")
+        mapping[int(src)] = int(dst)
+    return mapping
+
+
 def create_dataset(args: argparse.Namespace) -> None:
     ppaths = setup_paths(args.project_path)
     log_command(ppaths, args)
@@ -201,11 +230,25 @@ def create_dataset(args: argparse.Namespace) -> None:
         import shutil
 
         shutil.rmtree(ppaths.process_path, ignore_errors=True)
+    replace_dict = _parse_replace_dict(getattr(args, "replace_dict", None))
+    grid_size = getattr(args, "grid_size", None)
+    regions = args.regions or config.get("regions")
+    if getattr(args, "grid_id", None):
+        regions = [args.grid_id]
+    image_root = getattr(args, "time_series_path", None)
     for region_path in iter_regions(
-        ppaths, args.regions or config.get("regions")
+        ppaths,
+        regions,
+        base=Path(image_root) if image_root else None,
     ):
         x, bounds, cell_res, _, polygons = load_scene(
-            region_path, window=window
+            region_path,
+            window=window,
+            ref_res=getattr(args, "ref_res", None),
+            resampling=getattr(args, "resampling", "nearest"),
+            date_format=getattr(args, "date_format", None),
+            class_column=getattr(args, "crop_column", None),
+            replace_dict=replace_dict,
         )
         out = create_train_batch(
             image_time_series=x,
@@ -222,6 +265,11 @@ def create_dataset(args: argparse.Namespace) -> None:
             keep_crop_classes=args.keep_crop_classes,
             nonag_is_unknown=args.nonag_is_unknown,
             overwrite=args.overwrite,
+            all_touched=getattr(args, "all_touched", False),
+            zero_padding=getattr(args, "zero_padding", 0),
+            grid_size=(
+                tuple(grid_size) if grid_size is not None else None
+            ),
         )
         if out is None:
             logger.info(f"{region_path.name}: already processed")
@@ -280,7 +328,9 @@ def _build_params(
         ckpt_file=ppaths.ckpt_file,
         dataset=dataset,
         val_frac=args.val_frac,
-        spatial_partitions=("spatial" if args.spatial_partitions else None),
+        spatial_partitions=args.spatial_partitions,
+        partition_name=getattr(args, "partition_name", None),
+        partition_column=getattr(args, "partition_column", "name"),
         batch_size=args.batch_size,
         load_batch_workers=getattr(args, "load_batch_workers", 2),
         edge_class=(
@@ -365,7 +415,10 @@ def train_model(args: argparse.Namespace, transfer: bool = False) -> None:
     ppaths = setup_paths(args.project_path, ckpt_name=ckpt_name)
     log_command(ppaths, args)
 
-    dataset = ChipDataset(ppaths.train_path)
+    dataset = ChipDataset(
+        ppaths.train_path,
+        preload=bool(getattr(args, "preload_data", False)),
+    )
     if not len(dataset):
         raise FileNotFoundError(
             f"No training chips under {ppaths.process_path}"
@@ -447,7 +500,10 @@ def predict_image(args: argparse.Namespace, transfer: bool = False) -> None:
         / f"{args.region or 'scene'}_{args.start_date}_{args.end_date}.tif"
     )
     written = predictor.predict_to_raster(
-        dataset, out_path, crs=scene_crs(ppaths, args.region)
+        dataset,
+        out_path,
+        crs=scene_crs(ppaths, args.region),
+        reference_image=getattr(args, "reference_image", None),
     )
     logger.info(f"Wrote {written}")
 
@@ -560,10 +616,22 @@ def spatial_kfoldcv(args: argparse.Namespace) -> None:
     norm = _norm_values(ppaths, dataset, args.batch_size)
     dataset.norm_values = norm
 
+    partition_file = getattr(args, "spatial_partitions", None)
+    if partition_file and partition_file != "spatial":
+        # one fold per named user partition polygon
+        fold_iter = dataset.partition_kfoldcv_iter(
+            partition_file,
+            partition_column=getattr(args, "partition_column", "name"),
+        )
+    elif getattr(args, "splits", 0) > 0:
+        # quadtree cells at the requested split depth become the folds
+        # (reference splits knob subdivides partitions via pygrts)
+        fold_iter = dataset.spatial_kfoldcv_iter(4 ** int(args.splits))
+    else:
+        fold_iter = dataset.spatial_kfoldcv_iter(args.k_folds)
+
     results = {}
-    for fold_name, train_ds, val_ds in dataset.spatial_kfoldcv_iter(
-        args.k_folds
-    ):
+    for fold_name, train_ds, val_ds in fold_iter:
         params = _build_params(args, ppaths, train_ds)
         params.ckpt_file = ppaths.ckpt_path / f"{fold_name}.ckpt"
         params.test_dataset = val_ds

@@ -74,7 +74,15 @@ def get_time_series_list(
         feature_path.glob("*.npy")
     ):
         try:
-            when = _parse_date(path.stem)
+            # Honor an explicit --image-date-format first (reference
+            # args.yml date_format, default %Y%j); fall back to the
+            # digit heuristic for mixed naming.
+            try:
+                when = datetime.datetime.strptime(
+                    path.stem, date_format
+                ).date()
+            except (ValueError, TypeError):
+                when = _parse_date(path.stem)
         except ValueError:
             continue
         if start <= when <= end:
