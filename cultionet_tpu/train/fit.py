@@ -206,6 +206,8 @@ def _build_tx(
         ),
         steplr_step_size=params.steplr_step_size,
     )
+    from .optim import build_momentum_schedule
+
     tx = build_optimizer(
         optimizer=params.optimizer,
         learning_rate=schedule,
@@ -214,6 +216,14 @@ def _build_tx(
         gradient_clip_val=params.gradient_clip_val,
         gradient_clip_algorithm=params.gradient_clip_algorithm,
         accumulate_grad_batches=params.accumulate_grad_batches,
+        # torch OneCycleLR cycles beta1 opposite the LR (cycle_momentum)
+        b1_schedule=build_momentum_schedule(
+            params.lr_scheduler,
+            params.epochs,
+            max(1, steps_per_epoch // max(1, params.accumulate_grad_batches)),
+        )
+        if params.optimizer == "AdamW"
+        else None,
     )
     if frozen_mask is not None:
         # Zero updates for frozen params (reference freeze semantics).

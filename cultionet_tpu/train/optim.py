@@ -67,6 +67,29 @@ def build_schedule(
     raise ValueError(f"Unknown LR scheduler: {name}")
 
 
+def build_momentum_schedule(
+    name: str, epochs: int, steps_per_epoch: int
+) -> T.Optional[optax.Schedule]:
+    """torch OneCycleLR cycles the optimizer momentum opposite the LR
+    (cycle_momentum=True default: max 0.95 -> base 0.85 over the 30%
+    warmup, back to 0.95 over the anneal). For AdamW that momentum is
+    beta1 — a real training-dynamics difference vs a fixed 0.9, matched
+    here for recipe parity with the reference (lightning.py:658-663)."""
+    if name != LearningRateSchedulers.ONE_CYCLE_LR:
+        return None
+    total = max(epochs * steps_per_epoch, 10)
+    warm = int(total * 0.3)
+
+    def schedule(step):
+        step = jnp.minimum(step, total)
+        up = 0.95 + (0.85 - 0.95) * (step / max(warm, 1))
+        frac = (step - warm) / max(total - warm, 1)
+        down = 0.85 + (0.95 - 0.85) * 0.5 * (1 - jnp.cos(jnp.pi * frac))
+        return jnp.where(step < warm, up, down)
+
+    return schedule
+
+
 def build_optimizer(
     optimizer: str = "AdamW",
     learning_rate: T.Union[float, optax.Schedule] = 1e-2,
@@ -75,17 +98,27 @@ def build_optimizer(
     gradient_clip_val: T.Optional[float] = None,
     gradient_clip_algorithm: str = "norm",
     accumulate_grad_batches: int = 1,
+    b1_schedule: T.Optional[optax.Schedule] = None,
 ) -> optax.GradientTransformation:
     if optimizer == "Adam":
         tx = optax.adam(learning_rate, eps=eps)
     elif optimizer == "AdamW":
-        tx = optax.adamw(
-            learning_rate,
-            b1=0.9,
-            b2=0.98,
-            eps=eps,
-            weight_decay=weight_decay,
-        )
+        if b1_schedule is not None:
+            tx = optax.inject_hyperparams(optax.adamw)(
+                learning_rate=learning_rate,
+                b1=b1_schedule,
+                b2=0.98,
+                eps=eps,
+                weight_decay=weight_decay,
+            )
+        else:
+            tx = optax.adamw(
+                learning_rate,
+                b1=0.9,
+                b2=0.98,
+                eps=eps,
+                weight_decay=weight_decay,
+            )
     elif optimizer == "RAdam":
         # decoupled weight decay like torch RAdam(decoupled_weight_decay=True)
         tx = optax.chain(
