@@ -96,6 +96,8 @@ def read_time_series(
     ref_res: T.Optional[float] = None,
     resampling: str = "nearest",
     date_format: T.Optional[str] = None,
+    var_dirs: T.Optional[T.Sequence[T.Union[str, Path]]] = None,
+    skip_index: int = 0,
 ) -> T.Tuple[
     np.ndarray,
     T.Tuple[float, float, float, float],
@@ -117,7 +119,16 @@ def read_time_series(
     """
     region_path = Path(region_path)
 
-    var_dirs = sorted(p for p in region_path.iterdir() if p.is_dir())
+    if var_dirs is not None:
+        # Explicit per-variable dirs (reference feature_pattern layout).
+        var_dirs = [Path(p) for p in var_dirs]
+        missing = [str(p) for p in var_dirs if not p.is_dir()]
+        if missing:
+            raise FileNotFoundError(
+                f"feature_pattern dirs not found: {missing}"
+            )
+    else:
+        var_dirs = sorted(p for p in region_path.iterdir() if p.is_dir())
     if not var_dirs:
         raise FileNotFoundError(f"No variable directories in {region_path}")
 
@@ -133,8 +144,14 @@ def read_time_series(
             )
             if date_format is not None:
                 kwargs["date_format"] = date_format
-            return get_time_series_list(var_dir, **kwargs)
-        return sorted(var_dir.glob("*.tif"))
+            files = get_time_series_list(var_dir, **kwargs)
+        else:
+            files = sorted(var_dir.glob("*.tif"))
+        if skip_index and skip_index > 0:
+            # Thin the series (reference skip_index,
+            # scripts/cultionet.py:342-343).
+            files = files[::skip_index]
+        return files
 
     bands = []
     bounds = None

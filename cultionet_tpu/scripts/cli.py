@@ -29,7 +29,7 @@ from ..config import CultionetParams
 from ..data.create import create_predict_dataset, create_train_batch
 from ..data.datasets import ChipDataset
 from ..data.loader import ChipLoader
-from ..enums import CLISteps, ModelNames
+from ..enums import CLISteps, Destinations, ModelNames
 from ..utils.logging import set_color_logger
 from ..utils.normalize import NormValues
 from ..utils.project_paths import ProjectPaths, setup_paths
@@ -118,6 +118,9 @@ def load_scene(
     date_format: T.Optional[str] = None,
     class_column: T.Optional[str] = None,
     replace_dict: T.Optional[T.Dict[int, int]] = None,
+    feature_pattern: T.Optional[str] = None,
+    image_vis: T.Optional[T.Sequence[str]] = None,
+    skip_index: int = 0,
 ) -> T.Tuple[np.ndarray, tuple, float, T.Optional[str], T.Optional[list]]:
     """Load a region scene: scene.npz (+ polygons.json). Falls back to the
     GeoTIFF time-series reader (data/geotiff.py — rasterio or pure-python).
@@ -138,11 +141,30 @@ def load_scene(
     else:
         from ..data.geotiff import read_time_series
 
+        var_dirs = None
+        if feature_pattern:
+            # Reference feature_pattern ('{region}/brdf_ts/ms/{image_vi}',
+            # args.yml feature_pattern): variable dirs resolved per
+            # vegetation index relative to the imagery root.
+            root = region_path.parent
+            var_dirs = [
+                root
+                / feature_pattern.format(
+                    region=region_path.name, image_vi=vi
+                )
+                for vi in (image_vis or [])
+            ]
+            if not var_dirs:
+                raise ValueError(
+                    "--feature-pattern requires image_vis in config.yml"
+                )
         x, bounds, cell_res, crs = read_time_series(
             region_path,
             ref_res=ref_res,
             resampling=resampling,
             date_format=date_format,
+            var_dirs=var_dirs,
+            skip_index=skip_index,
             **(window or {}),
         )
 
@@ -179,7 +201,12 @@ def iter_regions(
         return [base / r for r in regions]
     if not base.is_dir():
         return []
-    return sorted(p for p in base.iterdir() if p.is_dir())
+    # With --append-ts n the imagery root IS the project root; skip the
+    # project's own bookkeeping dirs when auto-discovering regions.
+    aux = {str(d) for d in Destinations} | {"commands"}
+    return sorted(
+        p for p in base.iterdir() if p.is_dir() and p.name not in aux
+    )
 
 
 def write_classes_info(ppaths: ProjectPaths, max_crop_class: int) -> None:
@@ -219,8 +246,59 @@ def _parse_replace_dict(
     return mapping
 
 
+def _parse_bbox_offsets(
+    tokens: T.Optional[T.Sequence[str]],
+) -> T.List[T.Tuple[float, float]]:
+    """'0,100 -100,0' -> [(0, 100), (-100, 0)] map-unit (x, y) shifts
+    (reference bbox_offsets, scripts/cultionet.py:205-260)."""
+    out: T.List[T.Tuple[float, float]] = []
+    for token in tokens or []:
+        sx, sy = str(token).split(",")
+        out.append((float(sx), float(sy)))
+    return out
+
+
+def _shift_scene(
+    x: np.ndarray,
+    bounds: T.Tuple[float, float, float, float],
+    cell_res: float,
+    offset_xy: T.Tuple[float, float],
+) -> T.Tuple[np.ndarray, T.Tuple[float, float, float, float]]:
+    """Crop the same-size window shifted by (x, y) map units out of the
+    scene, zero-filling where the shift leaves the scene extent. The
+    reference re-reads imagery at the shifted grid bbox
+    (scripts/cultionet.py:250-263); with a preloaded scene cube the
+    equivalent is a pixel-shifted crop."""
+    dx = int(round(offset_xy[0] / cell_res))
+    dy = int(round(offset_xy[1] / cell_res))
+    _, h, w, _ = x.shape
+    shifted = np.zeros_like(x)
+    # Row 0 is the TOP of the raster: shifted[r, c] = x[r - dy, c + dx].
+    dst_r0, dst_r1 = max(0, dy), min(h, h + dy)
+    dst_c0, dst_c1 = max(0, -dx), min(w, w - dx)
+    if dst_r1 <= dst_r0 or dst_c1 <= dst_c0:
+        raise ValueError(
+            f"bbox offset {offset_xy} shifts the window fully outside "
+            f"the scene"
+        )
+    shifted[:, dst_r0:dst_r1, dst_c0:dst_c1] = x[
+        :, dst_r0 - dy : dst_r1 - dy, dst_c0 + dx : dst_c1 + dx
+    ]
+    left, bottom, right, top = bounds
+    new_bounds = (
+        left + offset_xy[0],
+        bottom + offset_xy[1],
+        right + offset_xy[0],
+        top + offset_xy[1],
+    )
+    return shifted, new_bounds
+
+
 def create_dataset(args: argparse.Namespace) -> None:
-    ppaths = setup_paths(args.project_path)
+    ppaths = setup_paths(
+        args.project_path,
+        append_ts=getattr(args, "append_ts", "y") == "y",
+    )
     log_command(ppaths, args)
     write_classes_info(ppaths, args.max_crop_class)
 
@@ -249,32 +327,49 @@ def create_dataset(args: argparse.Namespace) -> None:
             date_format=getattr(args, "date_format", None),
             class_column=getattr(args, "crop_column", None),
             replace_dict=replace_dict,
+            feature_pattern=getattr(args, "feature_pattern", None),
+            image_vis=config.get("image_vis"),
+            skip_index=getattr(args, "skip_index", 0),
         )
-        out = create_train_batch(
-            image_time_series=x,
-            polygons=polygons,
-            bounds=bounds,
-            cell_res=cell_res,
-            region=region_path.name,
-            process_path=ppaths.process_path,
-            start_date=args.start_date,
-            end_date=args.end_date,
-            gain=getattr(args, "gain", 1e-4),
-            offset=getattr(args, "offset", 0.0),
-            max_crop_class=args.max_crop_class,
-            keep_crop_classes=args.keep_crop_classes,
-            nonag_is_unknown=args.nonag_is_unknown,
-            overwrite=args.overwrite,
-            all_touched=getattr(args, "all_touched", False),
-            zero_padding=getattr(args, "zero_padding", 0),
-            grid_size=(
-                tuple(grid_size) if grid_size is not None else None
-            ),
+        # (0, 0) plus any user offsets; each offset writes an extra chip
+        # under a distinct region id (reference bbox_offsets loop,
+        # scripts/cultionet.py:233-263).
+        offsets = [(0.0, 0.0)] + _parse_bbox_offsets(
+            getattr(args, "bbox_offsets", None)
         )
-        if out is None:
-            logger.info(f"{region_path.name}: already processed")
-        else:
-            logger.info(f"{region_path.name}: wrote {out.name}")
+        for off in offsets:
+            if off == (0.0, 0.0):
+                region_id, off_x, off_bounds = region_path.name, x, bounds
+            else:
+                off_x, off_bounds = _shift_scene(x, bounds, cell_res, off)
+                region_id = (
+                    f"{region_path.name}-off{off[0]:g}x{off[1]:g}"
+                )
+            out = create_train_batch(
+                image_time_series=off_x,
+                polygons=polygons,
+                bounds=off_bounds,
+                cell_res=cell_res,
+                region=region_id,
+                process_path=ppaths.process_path,
+                start_date=args.start_date,
+                end_date=args.end_date,
+                gain=getattr(args, "gain", 1e-4),
+                offset=getattr(args, "offset", 0.0),
+                max_crop_class=args.max_crop_class,
+                keep_crop_classes=args.keep_crop_classes,
+                nonag_is_unknown=args.nonag_is_unknown,
+                overwrite=args.overwrite,
+                all_touched=getattr(args, "all_touched", False),
+                zero_padding=getattr(args, "zero_padding", 0),
+                grid_size=(
+                    tuple(grid_size) if grid_size is not None else None
+                ),
+            )
+            if out is None:
+                logger.info(f"{region_id}: already processed")
+            else:
+                logger.info(f"{region_id}: wrote {out.name}")
 
 
 def _season_window(args: argparse.Namespace, config: dict) -> T.Optional[dict]:
@@ -287,6 +382,9 @@ def _season_window(args: argparse.Namespace, config: dict) -> T.Optional[dict]:
         end_year = int(str(args.end_date)[:4])
     if end_year is None or not (start_mmdd and end_mmdd):
         return None
+    # add_year: grid year column + N = seasonal end year (reference
+    # scripts/cultionet.py:310-311).
+    end_year = int(end_year) + int(getattr(args, "add_year", 0) or 0)
     return dict(
         end_year=int(end_year),
         start_mmdd=str(start_mmdd),
@@ -296,13 +394,25 @@ def _season_window(args: argparse.Namespace, config: dict) -> T.Optional[dict]:
 
 
 def create_predict(args: argparse.Namespace) -> None:
-    ppaths = setup_paths(args.project_path)
+    ppaths = setup_paths(
+        args.project_path,
+        append_ts=getattr(args, "append_ts", "y") == "y",
+    )
     log_command(ppaths, args)
 
     config = read_project_config(ppaths)
     window = _season_window(args, config)
     for region_path in iter_regions(ppaths, args.regions or config.get("regions")):
-        x, bounds, _, _, _ = load_scene(region_path, window=window)
+        x, bounds, _, _, _ = load_scene(
+            region_path,
+            window=window,
+            ref_res=getattr(args, "ref_res", None),
+            resampling=getattr(args, "resampling", "nearest"),
+            date_format=getattr(args, "date_format", None),
+            feature_pattern=getattr(args, "feature_pattern", None),
+            image_vis=config.get("image_vis"),
+            skip_index=getattr(args, "skip_index", 0),
+        )
         paths = create_predict_dataset(
             image_time_series=x,
             region=region_path.name,
@@ -417,6 +527,7 @@ def train_model(args: argparse.Namespace, transfer: bool = False) -> None:
 
     dataset = ChipDataset(
         ppaths.train_path,
+        pattern=getattr(args, "data_pattern", "data*") or "data*",
         preload=bool(getattr(args, "preload_data", False)),
     )
     if not len(dataset):
@@ -478,13 +589,13 @@ def predict_image(args: argparse.Namespace, transfer: bool = False) -> None:
     norm = NormValues.from_file(norm_path) if norm_path.is_file() else None
 
     pattern = f"data_{args.region}*" if args.region else "data*"
-    dataset = ChipDataset(
-        ppaths.predict_path, pattern=pattern, norm_values=norm
-    )
+    # --data-path: predict directly on an existing processed-window dir
+    # (reference data_path, args.yml predict group).
+    data_path = getattr(args, "data_path", None)
+    chip_root = Path(data_path) if data_path else ppaths.predict_path
+    dataset = ChipDataset(chip_root, pattern=pattern, norm_values=norm)
     if not len(dataset):
-        raise FileNotFoundError(
-            f"No predict chips under {ppaths.predict_process_path}"
-        )
+        raise FileNotFoundError(f"No predict chips under {chip_root}")
 
     stem = Path(ppaths.ckpt_file).stem
     state, _ = load_model(

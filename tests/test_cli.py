@@ -139,3 +139,33 @@ def test_cli_version(capsys):
     run_cli(["version"])
     captured = capsys.readouterr()
     assert captured.out.strip()
+
+
+def test_cli_create_knob_tail(tmp_path):
+    """bbox-offsets writes extra shifted chips; --append-ts n reads
+    imagery from the project root; --data-pattern filters train files."""
+    project = make_project(tmp_path, num_regions=1)
+
+    run_cli(
+        [
+            "create",
+            "-p",
+            str(project),
+            "--bbox-offsets",
+            "0,8",
+            "--bbox-offsets=-8,0",
+        ]
+    )
+    chips = sorted((project / "data/train/processed").glob("*.npz"))
+    names = [c.name for c in chips]
+    assert len(chips) == 3
+    assert any("-off0x8" in n for n in names)
+    assert any("-off-8x0" in n for n in names)
+
+    # --append-ts n: regions directly under the imagery root
+    flat = tmp_path / "flat"
+    import shutil
+
+    shutil.copytree(project / "time_series_vars" / "000000", flat / "000000")
+    run_cli(["create", "-p", str(flat), "--append-ts", "n"])
+    assert len(list((flat / "data/train/processed").glob("*.npz"))) == 1

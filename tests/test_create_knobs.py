@@ -307,3 +307,58 @@ def test_predict_profile_from_reference_image(tmp_path):
     _, bounds, _, crs = read_tiff(out)
     assert crs == "EPSG:32611"
     np.testing.assert_allclose(bounds, ref_bounds)
+
+
+def test_skip_index_and_feature_pattern(tmp_path):
+    """skip_index thins the series (reference scripts/cultionet.py:342);
+    feature_pattern resolves variable dirs per vegetation index
+    (reference args.yml feature_pattern)."""
+    bounds = (0.0, 0.0, 100.0, 100.0)
+    rng = np.random.default_rng(3)
+    root = tmp_path / "imagery"
+    for vi in ("evi2", "gcvi"):
+        d = root / "r7" / "ts" / "ms" / vi
+        d.mkdir(parents=True)
+        for date in ("2022001", "2022032", "2022060", "2022091"):
+            write_tiff(
+                d / f"{date}.tif",
+                (rng.random((10, 10)) * 10000).astype("uint16"),
+                bounds=bounds,
+            )
+    var_dirs = [
+        root / "{region}/ts/ms/{image_vi}".format(region="r7", image_vi=vi)
+        for vi in ("evi2", "gcvi")
+    ]
+    x, *_ = read_time_series(root / "r7", var_dirs=var_dirs)
+    assert x.shape == (4, 10, 10, 2)
+    x2, *_ = read_time_series(root / "r7", var_dirs=var_dirs, skip_index=2)
+    assert x2.shape == (2, 10, 10, 2)
+    np.testing.assert_allclose(x2, x[::2])
+    with pytest.raises(FileNotFoundError):
+        read_time_series(root / "r7", var_dirs=[root / "missing"])
+
+
+def test_shift_scene_bbox_offsets():
+    """_shift_scene crops the offset window, zero-filling beyond the
+    scene (reference bbox_offsets, scripts/cultionet.py:233-263)."""
+    from cultionet_tpu.scripts.cli import _parse_bbox_offsets, _shift_scene
+
+    assert _parse_bbox_offsets(["0,100", "-50,0"]) == [
+        (0.0, 100.0),
+        (-50.0, 0.0),
+    ]
+    x = np.arange(4 * 4, dtype="float32").reshape(1, 4, 4, 1)
+    # shift right by 1 map unit (res=1): window sees source cols 1..3
+    shifted, b = _shift_scene(x, (0.0, 0.0, 4.0, 4.0), 1.0, (1.0, 0.0))
+    np.testing.assert_allclose(
+        shifted[0, :, :3, 0], x[0, :, 1:, 0]
+    )
+    np.testing.assert_allclose(shifted[0, :, 3, 0], 0.0)
+    assert b == (1.0, 0.0, 5.0, 4.0)
+    # shift up by 2: window top rows leave the scene -> zero fill rows 0-1
+    shifted, b = _shift_scene(x, (0.0, 0.0, 4.0, 4.0), 1.0, (0.0, 2.0))
+    np.testing.assert_allclose(shifted[0, :2], 0.0)
+    np.testing.assert_allclose(shifted[0, 2:], x[0, :2])
+    assert b == (0.0, 2.0, 4.0, 6.0)
+    with pytest.raises(ValueError):
+        _shift_scene(x, (0.0, 0.0, 4.0, 4.0), 1.0, (10.0, 0.0))
