@@ -13,6 +13,8 @@ needed, just batch/spatial sharding.
 """
 
 
+import typing as T
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,10 +27,35 @@ from ..nn.init import kaiming_normal, normal_bias
 Array = jax.Array
 
 
+class _ConvKernel(nn.Module):
+    """Bare conv-kernel parameter holder.
+
+    Registers a ``kernel`` param with the same name, shape, and init as an
+    unbiased ``nn.Conv`` would, so checkpoints and the torch importer see an
+    identical tree, while ``Conv3d`` below consumes the weights through a
+    lane-packed matmul instead of a 3-D convolution.
+    """
+
+    shape: T.Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> Array:
+        return self.param("kernel", kaiming_normal, self.shape)
+
+
 class Conv3d(nn.Module):
     """Two stacked time-axis convolutions collapsing T -> 1.
 
     Input (B, T, H, W, C); output (B, H, W, out_channels).
+
+    TPU formulation: the naive 3-D conv keeps C (=3 image channels) on the
+    lane minor, which Mosaic pads 3 -> 128 — a ~42x HBM-traffic blowup that
+    made this 4-GFLOP fragment cost ~9 ms/step (BASELINE.md MFU ablation).
+    Instead the (T, C) axes are packed onto the lanes once and both convs
+    become matmuls: conv1 (kernel (kT,1,1) over T, C -> C) is a banded
+    (T*C, T1*C) matrix built from the conv kernel; conv2 (collapsing the
+    remaining T1 steps, C -> out) is its kernel reshaped to (T1*C, out).
+    Same parameters, same math (modulo fp reassociation), ~3x faster.
     """
 
     out_channels: int
@@ -46,26 +73,41 @@ class Conv3d(nn.Module):
             f"{self.kernel_size}; need in_time >= {self.kernel_size}"
         )
 
-        x = nn.Conv(
-            in_channels,
-            (self.kernel_size, 1, 1),
-            padding="VALID",
-            use_bias=False,
-            kernel_init=kaiming_normal,
-        )(x)
-        x = BatchNorm()(x, training)
-        x = act(x)
-        x = nn.Conv(
-            self.out_channels,
-            (remaining_time, 1, 1),
-            padding="VALID",
-            use_bias=False,
-            kernel_init=kaiming_normal,
-        )(x)
-        x = jnp.squeeze(x, axis=1)  # T collapsed to 1
-        x = BatchNorm()(x, training)
-        x = act(x)
-        return x
+        k1 = _ConvKernel(
+            (self.kernel_size, 1, 1, in_channels, in_channels),
+            name="Conv_0",
+        )()
+        k2 = _ConvKernel(
+            (remaining_time, 1, 1, in_channels, self.out_channels),
+            name="Conv_1",
+        )()
+        k1 = k1.astype(x.dtype)
+        k2 = k2.astype(x.dtype)
+
+        b, t, h, w, c = x.shape
+        t1 = remaining_time
+        # (B, T, H, W, C) -> (B, H, W, T*C): T*C on the lanes.
+        xp = jnp.moveaxis(x, 1, 3).reshape(b, h, w, t * c)
+
+        # conv1 as a banded matmul: M1[(t1+d)*C+ci, t1*C+co] = k1[d, ci, co]
+        w1 = jnp.squeeze(k1, (1, 2))  # (kT, C, C)
+        m1 = jnp.zeros((t, c, t1, c), k1.dtype)
+        steps = jnp.arange(t1)
+        for d in range(self.kernel_size):
+            m1 = m1.at[steps + d, :, steps, :].set(w1[d])
+        xp = xp @ m1.reshape(t * c, t1 * c)  # (B, H, W, T1*C)
+
+        # BatchNorm over per-C stats (identical reduction set to the 5-D
+        # layout the conv version normalized).
+        xr = xp.reshape(b, h, w, t1, c)
+        xr = BatchNorm(name="BatchNorm_0")(xr, training)
+        xp = act(xr).reshape(b, h, w, t1 * c)
+
+        # conv2 collapses T1 entirely: full contraction over (T1, C).
+        m2 = jnp.squeeze(k2, (1, 2)).reshape(t1 * c, self.out_channels)
+        xp = xp @ m2  # (B, H, W, out)
+        xp = BatchNorm(name="BatchNorm_1")(xp, training)
+        return act(xp)
 
 
 class PreTimeReduction(nn.Module):
