@@ -219,6 +219,39 @@ def _attend_t_axis(
     return out.reshape(b, t, h, w, c)
 
 
+class _DenseParams(nn.Module):
+    """Kernel+bias holder matching an ``nn.Dense`` param tree exactly
+    (same names, shapes, and init draws) so the packed-layout pipeline
+    below can consume the weights as block-diagonal matmuls while staying
+    checkpoint-compatible with the unpacked path."""
+
+    shape: T.Tuple[int, int]
+    kernel_init: T.Callable = kaiming_normal
+    bias_init: T.Callable = normal_bias
+
+    @nn.compact
+    def __call__(self) -> T.Tuple[Array, Array]:
+        kernel = self.param("kernel", self.kernel_init, self.shape)
+        bias = self.param("bias", self.bias_init, (self.shape[1],))
+        return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """Scale+bias holder matching ``nn.LayerNorm``'s param tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self) -> T.Tuple[Array, Array]:
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+        return scale, bias
+
+
 class TemporalTransformer(nn.Module):
     """Per-pixel temporal self-attention embedding, (B,T,H,W,C) -> (B,H,W,out).
 
@@ -244,20 +277,177 @@ class TemporalTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, training: bool = False) -> Array:
+        from ..ops.flags import pallas_temporal_enabled
+        from ..ops.temporal_pallas import supported
+
+        if pallas_temporal_enabled() and supported(self.d_model):
+            return self._packed(x, training)
+        return self._unpacked(x, training)
+
+    def _packed(self, x: Array, training: bool) -> Array:
+        """Whole pipeline in the kernel's lane-packed (T, rows, 128) layout.
+
+        The unpacked path below keeps tokens (B, T, H, W, D): every XLA op
+        then pays a D(=32)->128 lane-padding tax (4x HBM traffic) and every
+        attention call repacks q/k/v (and gradients) — 11 full-tensor lane
+        shuffles per fwd+bwd. Packing ONCE at entry and expressing Dense as
+        block-diagonal matmuls / LayerNorm as masked lane-group reductions
+        removes both: 336 -> ~80 ms/step at production scale (BASELINE.md).
+        Parameter names, shapes, and init draws match the unpacked path
+        exactly (holder modules), so checkpoints are interchangeable.
+        """
+        import numpy as _np
+
+        from ..ops.temporal_pallas import (
+            packed_row_block,
+            temporal_attention_packed,
+        )
+
+        b, t, h, w, cin = x.shape
+        d = self.d_model
+        fold = 128 // d
+        act = get_activation(self.activation_type)
+        interpret = jax.devices()[0].platform != "tpu"
+        row_block = packed_row_block(t, t)
+        n_px = b * h * w
+        rows = -(-n_px // fold)  # ceil: pixels per lane-row
+        rows = -(-rows // row_block) * row_block  # pad to the banding
+
+        def tile_lanes(vec: Array) -> Array:
+            return jnp.tile(vec, fold)
+
+        def dense(name, xp, shape, kernel_init=kaiming_normal,
+                  bias_init=normal_bias):
+            kernel, bias = _DenseParams(
+                shape, kernel_init, bias_init, name=name
+            )()
+            wb = jax.scipy.linalg.block_diag(
+                *([kernel.astype(xp.dtype)] * fold)
+            )
+            return xp @ wb + tile_lanes(bias.astype(xp.dtype))
+
+        # (lanes, fold) group-membership mask for per-pixel LayerNorm.
+        ln_mask = jnp.asarray(
+            _np.kron(_np.eye(fold), _np.ones((d, 1))), dtype=jnp.float32
+        )
+
+        def ln(name, xp):
+            scale, bias = _LNParams(d, name=name)()
+            xf = xp.astype(jnp.float32)
+            mean = (xf @ ln_mask) / d  # (T, rows, fold)
+            mean_full = mean @ ln_mask.T
+            var = ((xf - mean_full) ** 2 @ ln_mask) / d
+            inv_full = jax.lax.rsqrt(var + 1e-5) @ ln_mask.T
+            y = (xf - mean_full) * inv_full
+            y = y * tile_lanes(scale) + tile_lanes(bias)
+            return y.astype(xp.dtype)
+
+        # Pack once: (B, T, H, W, Cin) -> (T, rows, fold*Cin).
+        xp = jnp.moveaxis(x, 1, 0).reshape(t, n_px, cin)
+        pad = rows * fold - n_px
+        if pad:
+            xp = jnp.pad(xp, ((0, 0), (0, pad), (0, 0)))
+        xp = xp.reshape(t, rows, fold * cin)
+
+        tokens = dense("Dense_0", xp, (cin, d))
+        pos = jnp.asarray(
+            sinusoid_encoding_table(t, d), dtype=tokens.dtype
+        )
+        tokens = tokens + tile_lanes(pos)[:, None, :]
+
+        for layer in range(self.num_layers):
+            i = 4 * layer
+            attn_in = ln(f"LayerNorm_{2 * layer}", tokens)
+            kqkv, bqkv = _DenseParams((d, 3 * d), name=f"Dense_{i + 1}")()
+            kqkv = kqkv.astype(tokens.dtype)
+            bqkv = bqkv.astype(tokens.dtype)
+            qkv = []
+            for s in range(3):
+                wb = jax.scipy.linalg.block_diag(
+                    *([kqkv[:, s * d:(s + 1) * d]] * fold)
+                )
+                qkv.append(
+                    attn_in @ wb + tile_lanes(bqkv[s * d:(s + 1) * d])
+                )
+            attn = temporal_attention_packed(
+                qkv[0], qkv[1], qkv[2],
+                self.num_heads, d, row_block, interpret,
+            )
+            attn = dense(f"Dense_{i + 2}", attn, (d, d))
+            if self.dropout > 0:
+                attn = nn.Dropout(
+                    rate=self.dropout, deterministic=not training
+                )(attn)
+            tokens = tokens + attn
+            mlp_in = ln(f"LayerNorm_{2 * layer + 1}", tokens)
+            mlp = dense(
+                f"Dense_{i + 3}", mlp_in, (d, 2 * d),
+                kernel_init=nn.linear.default_kernel_init,
+                bias_init=nn.initializers.zeros_init(),
+            )
+            mlp = act(mlp)
+            mlp = dense(
+                f"Dense_{i + 4}", mlp, (2 * d, d),
+                kernel_init=nn.linear.default_kernel_init,
+                bias_init=nn.initializers.zeros_init(),
+            )
+            tokens = tokens + mlp
+
+        # Learned-query pooling: the query is one shared vector, so its
+        # LayerNorm + Dense run on a (1, d) tensor and tile onto lanes.
+        nl = self.num_layers
+        query = self.param(
+            "pool_query",
+            nn.initializers.normal(stddev=0.02),
+            (1, 1, 1, 1, d),
+        )
+        qscale, qbias = _LNParams(d, name=f"LayerNorm_{2 * nl + 1}")()
+        qf = query.reshape(1, d).astype(jnp.float32)
+        qmean = qf.mean(-1, keepdims=True)
+        qvar = ((qf - qmean) ** 2).mean(-1, keepdims=True)
+        qn = (qf - qmean) * jax.lax.rsqrt(qvar + 1e-5) * qscale + qbias
+        kq, bq = _DenseParams((d, d), name=f"Dense_{4 * nl + 1}")()
+        pool_q_vec = (qn @ kq + bq).astype(tokens.dtype)  # (1, d)
+        pool_qp = jnp.broadcast_to(
+            tile_lanes(pool_q_vec[0])[None, None, :], (1, rows, 128)
+        )
+        keys = ln(f"LayerNorm_{2 * nl}", tokens)
+        pool_k = dense(f"Dense_{4 * nl + 2}", keys, (d, d))
+        pool_v = dense(f"Dense_{4 * nl + 3}", keys, (d, d))
+        pooled = temporal_attention_packed(
+            pool_qp, pool_k, pool_v, self.num_heads, d, row_block, interpret
+        )
+        pooled = pooled.reshape(rows * fold, d)[:n_px].reshape(b, h, w, d)
+
+        out = nn.Dense(
+            self.out_channels,
+            kernel_init=kaiming_normal,
+            bias_init=normal_bias,
+            name=f"Dense_{4 * nl + 4}",
+        )(pooled)
+        return nn.LayerNorm(epsilon=1e-5, name=f"LayerNorm_{2 * nl + 2}")(out)
+
+    def _unpacked(self, x: Array, training: bool) -> Array:
         batch, time, height, width, _ = x.shape
 
         # Stay (B, T, H, W, D) throughout — see _temporal_axis_attention.
         tokens = nn.Dense(
             self.d_model, kernel_init=kaiming_normal, bias_init=normal_bias
         )(x)
-        pos = jnp.asarray(sinusoid_encoding_table(time, self.d_model))
+        # Cast the table to the compute dtype: adding an fp32 table would
+        # silently promote tokens (and the whole transformer) to fp32.
+        pos = jnp.asarray(
+            sinusoid_encoding_table(time, self.d_model), dtype=tokens.dtype
+        )
         tokens = tokens + pos[:, None, None, :][None]
 
-        attention = jax.checkpoint(
-            lambda q, k, v: _temporal_axis_attention(
-                q, k, v, self.num_heads
-            )
-        )
+        # No outer remat: the Pallas kernel recomputes weights flash-style
+        # in its own backward (nothing T*S-sized is stored), and the XLA
+        # fallback already checkpoints per batch chunk — an outer
+        # jax.checkpoint would re-run a full forward kernel per layer in
+        # the backward for no memory win.
+        def attention(q, k, v):
+            return _temporal_axis_attention(q, k, v, self.num_heads)
         for _ in range(self.num_layers):
             attn_in = nn.LayerNorm(epsilon=1e-5)(tokens)
             qkv = nn.Dense(

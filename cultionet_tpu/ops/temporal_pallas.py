@@ -48,11 +48,25 @@ class _TPlan(T.NamedTuple):
 
 
 def _plan(
-    n_pixels: int, channels: int, num_heads: int, row_block: int = 256
+    n_pixels: int,
+    channels: int,
+    num_heads: int,
+    tq: int = 1,
+    s_len: int = 1,
+    row_block: T.Optional[int] = None,
 ) -> _TPlan:
     assert channels <= 128 and 128 % channels == 0, (
         f"temporal pallas needs C dividing 128, got {channels}"
     )
+    if row_block is None:
+        # VMEM-aware banding: the backward kernel keeps ~2*(tq+S) block
+        # refs plus ~6*S fp32 temporaries live per program (all
+        # row_block x 128). Size row_block so the scoped-VMEM estimate
+        # stays well under the 16 MB Mosaic stack limit (at T=S=12 a
+        # fixed 256 rows overflowed to 21 MB at production scale).
+        units = 2 * (tq + s_len) + 6 * s_len + 8
+        budget = 8 * 1024 * 1024
+        row_block = max(8, min(256, budget // (512 * units) // 8 * 8))
     head_dim = channels // num_heads
     fold = 128 // channels
     rows = -(-n_pixels // fold)
@@ -181,6 +195,17 @@ def _bwd_kernel(
 def _call_kernel(kernel, plan, out_shapes, arrays, interpret):
     from jax.experimental import pallas as pl
 
+    compiler_params = None
+    if not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        # Default scoped-VMEM limit is 16 MB; the T-unrolled backward's
+        # live set (blocks are double-buffered) brushes ~21 MB at
+        # T=S=12 even with banded rows. Same raise as the NA kernels.
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        )
+
     grid = (plan.rows // plan.row_block,)
 
     def tspec(t_dim):
@@ -204,6 +229,7 @@ def _call_kernel(kernel, plan, out_shapes, arrays, interpret):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=compiler_params,
     )(*arrays)
 
 
@@ -223,7 +249,7 @@ def temporal_attention_pallas(
 
 def _temporal_fwd(q, k, v, num_heads, interpret):
     b, tq, h, w, c = q.shape
-    plan = _plan(b * h * w, c, num_heads)
+    plan = _plan(b * h * w, c, num_heads, tq=tq, s_len=k.shape[1])
     qp = _pack(q, plan)
     kp = _pack(k, plan)
     vp = _pack(v, plan)
@@ -242,7 +268,7 @@ def _temporal_fwd(q, k, v, num_heads, interpret):
 def _temporal_bwd(num_heads, interpret, residuals, dout):
     q, k, v = residuals
     b, tq, h, w, c = q.shape
-    plan = _plan(b * h * w, c, num_heads)
+    plan = _plan(b * h * w, c, num_heads, tq=tq, s_len=k.shape[1])
     qp = _pack(q, plan)
     kp = _pack(k, plan)
     vp = _pack(v, plan)
@@ -272,3 +298,88 @@ temporal_attention_pallas.defvjp(_temporal_fwd, _temporal_bwd)
 
 def supported(channels: int) -> bool:
     return channels <= 128 and 128 % channels == 0
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout entry: attention directly on (T, rows, 128) arrays.
+#
+# The unpacked API above repacks q/k/v (and their gradients) around every
+# call — 11 full-tensor lane-shuffles per attention fwd+bwd. When the whole
+# TemporalTransformer runs in packed layout (models/temporal.py), attention
+# consumes and produces packed arrays with zero layout traffic.
+# ---------------------------------------------------------------------------
+
+
+def _packed_plan(rows: int, channels: int, num_heads: int, row_block: int):
+    fold = 128 // channels
+    return _TPlan(
+        fold=fold,
+        lanes=128,
+        rows=rows,
+        row_block=row_block,
+        groups=fold * num_heads,
+        head_dim=channels // num_heads,
+        num_heads=num_heads,
+        n_pixels=rows * fold,
+    )
+
+
+def packed_row_block(tq: int, s_len: int) -> int:
+    """The row banding used by the packed pipeline (see _plan)."""
+    return _plan(1, 128, 1, tq=tq, s_len=s_len).row_block
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def temporal_attention_packed(
+    qp: Array,
+    kp: Array,
+    vp: Array,
+    num_heads: int,
+    channels: int,
+    row_block: int,
+    interpret: bool = False,
+) -> Array:
+    """Attention on lane-packed (Tq|S, rows, 128) arrays.
+
+    ``rows`` must be a multiple of ``row_block``; callers pad once at
+    pipeline entry (padded rows produce garbage that the caller trims —
+    they never mix into real pixels, all ops are per-pixel).
+    """
+    out, _ = _packed_fwd(qp, kp, vp, num_heads, channels, row_block, interpret)
+    return out
+
+
+def _packed_fwd(qp, kp, vp, num_heads, channels, row_block, interpret):
+    plan = _packed_plan(qp.shape[1], channels, num_heads, row_block)
+    mask = _mask(plan)
+    out_shape = jax.ShapeDtypeStruct(qp.shape, qp.dtype)
+    out = _call_kernel(
+        functools.partial(_fwd_kernel, plan=plan),
+        plan,
+        out_shape,
+        [qp, kp, vp, mask],
+        interpret,
+    )
+    return out, (qp, kp, vp)
+
+
+def _packed_bwd(num_heads, channels, row_block, interpret, residuals, dout):
+    qp, kp, vp = residuals
+    plan = _packed_plan(qp.shape[1], channels, num_heads, row_block)
+    mask = _mask(plan)
+    out_shapes = [
+        jax.ShapeDtypeStruct(qp.shape, qp.dtype),
+        jax.ShapeDtypeStruct(kp.shape, kp.dtype),
+        jax.ShapeDtypeStruct(vp.shape, vp.dtype),
+    ]
+    dqp, dkp, dvp = _call_kernel(
+        functools.partial(_bwd_kernel, plan=plan),
+        plan,
+        out_shapes,
+        [qp, kp, vp, dout, mask],
+        interpret,
+    )
+    return dqp, dkp, dvp
+
+
+temporal_attention_packed.defvjp(_packed_fwd, _packed_bwd)

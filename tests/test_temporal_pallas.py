@@ -113,3 +113,44 @@ def test_transformer_uses_kernel_when_enabled():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
     )
+
+
+def test_packed_pipeline_matches_unpacked_module():
+    """The packed-layout TemporalTransformer path (block-diag Dense +
+    masked-lane LayerNorm + packed attention) must match the unpacked
+    module bit-for-bit in tree structure and to fp tolerance in values."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    import numpy as np
+
+    from cultionet_tpu.models.temporal import TemporalTransformer
+    from cultionet_tpu.ops import flags
+
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (2, 12, 10, 10, 3), jnp.float32
+    )
+    m = TemporalTransformer(
+        out_channels=16, d_model=32, num_heads=4, num_layers=2
+    )
+    try:
+        flags.set_pallas_temporal(False)
+        variables = m.init(jax.random.PRNGKey(0), x, training=False)
+        ref = m.apply(variables, x, training=False)
+
+        flags.set_pallas_temporal(True)
+        v2 = m.init(jax.random.PRNGKey(0), x, training=False)
+        p1 = jtu.tree_leaves_with_path(variables["params"])
+        p2 = jtu.tree_leaves_with_path(v2["params"])
+        assert [(jtu.keystr(k), v.shape) for k, v in p1] == [
+            (jtu.keystr(k), v.shape) for k, v in p2
+        ]
+        for (_, a), (_, b) in zip(p1, p2):
+            np.testing.assert_allclose(a, b)  # identical init draws
+
+        out = m.apply(variables, x, training=False)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+    finally:
+        flags.set_pallas_temporal(None)
