@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..enums import AttentionTypes, InferenceNames, ResBlockTypes
+from ..nn.activations import get_activation
 from ..nn.blocks import (
     ConvBlock2d,
     ConvTranspose2d,
@@ -20,7 +21,7 @@ from ..nn.blocks import (
     ResidualAConv,
     ResidualConv,
 )
-from ..nn.init import kaiming_normal, normal_bias
+from ..nn.init import batchnorm_scale, kaiming_normal, normal_bias
 
 Array = jax.Array
 
@@ -95,6 +96,95 @@ class StreamConv2d(nn.Module):
         )(x)
 
 
+class _HeadKernel(nn.Module):
+    """Bare conv-kernel holder: same name/shape/init as an unbiased
+    ``nn.Conv``'s kernel (packed-head path, see TowerUNetFinal)."""
+
+    shape: T.Tuple[int, ...]
+    with_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", kaiming_normal, self.shape)
+        if not self.with_bias:
+            return kernel, None
+        return kernel, self.param("bias", normal_bias, (self.shape[-1],))
+
+
+class _BNCore(nn.Module):
+    """Param/stat holder matching ``nn.BatchNorm``'s tree (scale, bias,
+    batch_stats mean/var). A second call with ``new_stats`` applies the
+    running-average update (momentum 0.9 — the repo BatchNorm's setting)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, new_stats=None):
+        scale = self.param("scale", batchnorm_scale, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats",
+            "mean",
+            lambda s: jnp.zeros(s, jnp.float32),
+            (self.features,),
+        )
+        ra_var = self.variable(
+            "batch_stats",
+            "var",
+            lambda s: jnp.ones(s, jnp.float32),
+            (self.features,),
+        )
+        if new_stats is not None and not self.is_initializing():
+            mean, var = new_stats
+            ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+            ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        return scale, bias, ra_mean.value, ra_var.value
+
+
+class _BNHolder(nn.Module):
+    """Plays the repo ``BatchNorm`` wrapper scope (one extra name level)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, new_stats=None):
+        return _BNCore(self.features, name="BatchNorm_0")(new_stats)
+
+
+class _ConvBlockHolder(nn.Module):
+    """Plays a ``ConvBlock2d`` scope: Conv_0 kernel + BatchNorm_0 tree."""
+
+    kernel_shape: T.Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, new_stats=None):
+        kernel, _ = _HeadKernel(self.kernel_shape, name="Conv_0")()
+        bn = _BNHolder(self.kernel_shape[-1], name="BatchNorm_0")(new_stats)
+        return kernel, bn
+
+
+class _StreamHolder(nn.Module):
+    """Parameter tree of one ``StreamConv2d`` (ConvBlock2d_0 + Conv_0) —
+    identical names, shapes, and init draws, consumed by the packed head."""
+
+    in_channels: int
+    hidden_channels: int = 3
+    out_channels: int = 1
+
+    @nn.compact
+    def __call__(self, new_stats=None):
+        k1, bn = _ConvBlockHolder(
+            (3, 3, self.in_channels, self.hidden_channels),
+            name="ConvBlock2d_0",
+        )(new_stats)
+        k2, b2 = _HeadKernel(
+            (3, 3, self.hidden_channels, self.out_channels),
+            with_bias=True,
+            name="Conv_0",
+        )()
+        return k1, bn, k2, b2
+
+
 class TowerUNetFinal(nn.Module):
     """Psi-Net style multi-stream head for one tower
     (reference unet_parts.py:227-309)."""
@@ -120,17 +210,21 @@ class TowerUNetFinal(nn.Module):
                 name="up_conv",
             )(x, size)
 
-        dist_h = StreamConv2d(3, 1, self.activation_type, name="dist_conv")(
-            x, training
-        )
-        edge_h = StreamConv2d(3, 1, self.activation_type, name="edge_conv")(
-            x, training
-        )
-        crop_h = StreamConv2d(3, 1, self.activation_type, name="crop_conv")(
-            x, training
-        )
+        from ..ops.flags import packed_head_enabled
 
-        h = jnp.concatenate([dist_h, edge_h, crop_h], axis=-1)
+        if packed_head_enabled():
+            h = self._packed_streams(x, training)
+        else:
+            dist_h = StreamConv2d(
+                3, 1, self.activation_type, name="dist_conv"
+            )(x, training)
+            edge_h = StreamConv2d(
+                3, 1, self.activation_type, name="edge_conv"
+            )(x, training)
+            crop_h = StreamConv2d(
+                3, 1, self.activation_type, name="crop_conv"
+            )(x, training)
+            h = jnp.concatenate([dist_h, edge_h, crop_h], axis=-1)
         h = ConvBlock2d(
             out_channels=3,
             kernel_size=3,
@@ -146,6 +240,83 @@ class TowerUNetFinal(nn.Module):
             f"{InferenceNames.EDGE}{suffix}": edge_out,
             f"{InferenceNames.CROP}{suffix}": mask_out,
         }
+
+    def _packed_streams(self, x: Array, training: bool) -> Array:
+        """All three task streams in one MXU pass each.
+
+        The unpacked path runs six 1-3-output-channel convs + three
+        BatchNorms per tower; with 1-3 channels on the lane minor every one
+        of them pads to 128 lanes (BASELINE.md MFU ablation: 2-3% MFU,
+        ~3-5 ms/tower). Packing the streams widens the lane fill 3x and
+        cuts the op count to two convs + one (grouped) BatchNorm:
+
+        - conv1: the three H->3 kernels concatenated -> one H->9 conv;
+          each output channel's contraction is unchanged, so values match
+          the unpacked path.
+        - BatchNorm over the 9 packed channels with per-stream params
+          (flax semantics replicated: fp32 fast-variance stats, momentum
+          0.9 running averages written back per stream).
+        - conv2: the three 3->1 kernels as one block-diagonal 9->3 conv
+          (off-block zeros, so each output is the exact per-stream sum).
+
+        Parameter names, shapes, and init draws are identical to the
+        unpacked path (holder modules above), so checkpoints and the
+        torch importer are unaffected.
+        """
+        act = get_activation(self.activation_type)
+        c = x.shape[-1]
+        names = ("dist_conv", "edge_conv", "crop_conv")
+        holders = {n: _StreamHolder(in_channels=c, name=n) for n in names}
+        parts = {n: holders[n]() for n in names}
+
+        k1 = jnp.concatenate(
+            [parts[n][0] for n in names], axis=-1
+        )  # (3, 3, C, 9)
+        x9 = jax.lax.conv_general_dilated(
+            x,
+            k1.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+        scale = jnp.concatenate([parts[n][1][0] for n in names])
+        bias = jnp.concatenate([parts[n][1][1] for n in names])
+        ra_mean = jnp.concatenate([parts[n][1][2] for n in names])
+        ra_var = jnp.concatenate([parts[n][1][3] for n in names])
+        if training:
+            xf = x9.astype(jnp.float32)
+            mean = xf.mean(axis=(0, 1, 2))
+            var = jnp.maximum(
+                (xf * xf).mean(axis=(0, 1, 2)) - mean * mean, 0.0
+            )
+            for i, n in enumerate(names):
+                holders[n]((mean[3 * i : 3 * i + 3], var[3 * i : 3 * i + 3]))
+        else:
+            mean, var = ra_mean, ra_var
+        y = (x9.astype(jnp.float32) - mean) * (
+            jax.lax.rsqrt(var + 1e-5) * scale.astype(jnp.float32)
+        ) + bias.astype(jnp.float32)
+        out_dtype = jnp.result_type(x9.dtype, scale.dtype, bias.dtype)
+        y = act(y.astype(out_dtype))
+
+        k2 = jnp.zeros((3, 3, 9, 3), y.dtype)
+        for i, n in enumerate(names):
+            k2 = k2.at[:, :, 3 * i : 3 * i + 3, i].set(
+                parts[n][2][..., 0].astype(y.dtype)
+            )
+        b2 = jnp.concatenate([parts[n][3] for n in names]).astype(y.dtype)
+        h = (
+            jax.lax.conv_general_dilated(
+                y,
+                k2,
+                window_strides=(1, 1),
+                padding=[(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + b2
+        )
+        return h
 
 
 class TowerUNetFinalCombine(nn.Module):

@@ -53,3 +53,27 @@ def pallas_temporal_enabled() -> bool:
         return jax.devices()[0].platform == "tpu"
     except RuntimeError:
         return False
+
+
+_USE_PACKED_HEAD: T.Optional[bool] = None
+
+
+def set_packed_head(enabled: T.Optional[bool]) -> None:
+    """Force the lane-packed TowerUNetFinal head on/off (None = auto:
+    env CULTIONET_TPU_PACKED_HEAD, else on)."""
+    global _USE_PACKED_HEAD
+    _USE_PACKED_HEAD = enabled
+
+
+def packed_head_enabled() -> bool:
+    if _USE_PACKED_HEAD is not None:
+        return _USE_PACKED_HEAD
+    env = os.environ.get("CULTIONET_TPU_PACKED_HEAD")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    # Default: on everywhere. The packed head is plain XLA (no Pallas) and
+    # per-output-channel contractions are unchanged, so values match the
+    # unpacked path to fp round-off on any backend; on TPU it converts the
+    # 2-3%-MFU stream convs (BASELINE.md MFU ablation) into 3x-wider
+    # single passes.
+    return True
