@@ -21,7 +21,13 @@ from ..nn.blocks import (
     ResidualAConv,
     ResidualConv,
 )
-from ..nn.init import batchnorm_scale, kaiming_normal, normal_bias
+from ..nn.init import kaiming_normal, normal_bias
+from ..nn.packed import (
+    ConvBlockParams,
+    ConvKernel,
+    conv2d_same,
+    packed_batch_norm,
+)
 
 Array = jax.Array
 
@@ -96,73 +102,6 @@ class StreamConv2d(nn.Module):
         )(x)
 
 
-class _HeadKernel(nn.Module):
-    """Bare conv-kernel holder: same name/shape/init as an unbiased
-    ``nn.Conv``'s kernel (packed-head path, see TowerUNetFinal)."""
-
-    shape: T.Tuple[int, ...]
-    with_bias: bool = False
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param("kernel", kaiming_normal, self.shape)
-        if not self.with_bias:
-            return kernel, None
-        return kernel, self.param("bias", normal_bias, (self.shape[-1],))
-
-
-class _BNCore(nn.Module):
-    """Param/stat holder matching ``nn.BatchNorm``'s tree (scale, bias,
-    batch_stats mean/var). A second call with ``new_stats`` applies the
-    running-average update (momentum 0.9 — the repo BatchNorm's setting)."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, new_stats=None):
-        scale = self.param("scale", batchnorm_scale, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        ra_mean = self.variable(
-            "batch_stats",
-            "mean",
-            lambda s: jnp.zeros(s, jnp.float32),
-            (self.features,),
-        )
-        ra_var = self.variable(
-            "batch_stats",
-            "var",
-            lambda s: jnp.ones(s, jnp.float32),
-            (self.features,),
-        )
-        if new_stats is not None and not self.is_initializing():
-            mean, var = new_stats
-            ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
-            ra_var.value = 0.9 * ra_var.value + 0.1 * var
-        return scale, bias, ra_mean.value, ra_var.value
-
-
-class _BNHolder(nn.Module):
-    """Plays the repo ``BatchNorm`` wrapper scope (one extra name level)."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, new_stats=None):
-        return _BNCore(self.features, name="BatchNorm_0")(new_stats)
-
-
-class _ConvBlockHolder(nn.Module):
-    """Plays a ``ConvBlock2d`` scope: Conv_0 kernel + BatchNorm_0 tree."""
-
-    kernel_shape: T.Tuple[int, ...]
-
-    @nn.compact
-    def __call__(self, new_stats=None):
-        kernel, _ = _HeadKernel(self.kernel_shape, name="Conv_0")()
-        bn = _BNHolder(self.kernel_shape[-1], name="BatchNorm_0")(new_stats)
-        return kernel, bn
-
-
 class _StreamHolder(nn.Module):
     """Parameter tree of one ``StreamConv2d`` (ConvBlock2d_0 + Conv_0) —
     identical names, shapes, and init draws, consumed by the packed head."""
@@ -173,11 +112,11 @@ class _StreamHolder(nn.Module):
 
     @nn.compact
     def __call__(self, new_stats=None):
-        k1, bn = _ConvBlockHolder(
+        k1, bn = ConvBlockParams(
             (3, 3, self.in_channels, self.hidden_channels),
             name="ConvBlock2d_0",
         )(new_stats)
-        k2, b2 = _HeadKernel(
+        k2, b2 = ConvKernel(
             (3, 3, self.hidden_channels, self.out_channels),
             with_bias=True,
             name="Conv_0",
@@ -272,33 +211,15 @@ class TowerUNetFinal(nn.Module):
         k1 = jnp.concatenate(
             [parts[n][0] for n in names], axis=-1
         )  # (3, 3, C, 9)
-        x9 = jax.lax.conv_general_dilated(
-            x,
-            k1.astype(x.dtype),
-            window_strides=(1, 1),
-            padding=[(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        x9 = conv2d_same(x, k1)
 
-        scale = jnp.concatenate([parts[n][1][0] for n in names])
-        bias = jnp.concatenate([parts[n][1][1] for n in names])
-        ra_mean = jnp.concatenate([parts[n][1][2] for n in names])
-        ra_var = jnp.concatenate([parts[n][1][3] for n in names])
+        y, (mean, var) = packed_batch_norm(
+            x9, [parts[n][1] for n in names], training
+        )
         if training:
-            xf = x9.astype(jnp.float32)
-            mean = xf.mean(axis=(0, 1, 2))
-            var = jnp.maximum(
-                (xf * xf).mean(axis=(0, 1, 2)) - mean * mean, 0.0
-            )
             for i, n in enumerate(names):
                 holders[n]((mean[3 * i : 3 * i + 3], var[3 * i : 3 * i + 3]))
-        else:
-            mean, var = ra_mean, ra_var
-        y = (x9.astype(jnp.float32) - mean) * (
-            jax.lax.rsqrt(var + 1e-5) * scale.astype(jnp.float32)
-        ) + bias.astype(jnp.float32)
-        out_dtype = jnp.result_type(x9.dtype, scale.dtype, bias.dtype)
-        y = act(y.astype(out_dtype))
+        y = act(y)
 
         k2 = jnp.zeros((3, 3, 9, 3), y.dtype)
         for i, n in enumerate(names):

@@ -238,6 +238,8 @@ class ResidualAConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, training: bool = False) -> Array:
+        from ..ops.flags import packed_resa_enabled
+
         dilations = (
             list(self.dilations) if self.dilations is not None else [1, 2]
         )
@@ -255,16 +257,37 @@ class ResidualAConv(nn.Module):
 
         skip = out
 
-        for i, dilation in enumerate(dilations):
-            out = out + ResConvBlock2d(
-                out_channels=self.out_channels,
-                kernel_size=self.kernel_size,
-                dilation=dilation,
-                activation_type=self.activation_type,
-                num_blocks=self.num_blocks,
-                batchnorm_first=self.batchnorm_first,
-                name=f"res_branch_{i}",
-            )(x, training)
+        # Under the reference's dilation rule (first conv always dilation 1,
+        # later convs max(1, d-1) — ResConvBlock2d above) every branch with
+        # d <= 2 has IDENTICAL conv geometry, so the parallel branches can
+        # run as one wide conv + one grouped conv (see _packed_branches).
+        # Width policy (BASELINE.md probe + fragment ablation): packing
+        # wins only while the branch convs underfill the 128-lane tile;
+        # at out_channels >= 128 the packed variants lose to XLA's own
+        # scheduling (decoder 13.4 -> 19.7 ms), so wide blocks stay
+        # unpacked.
+        packable = (
+            packed_resa_enabled()
+            and not self.batchnorm_first
+            and self.kernel_size == 3
+            and self.num_blocks == 2
+            and self.out_channels <= 64
+            and len(dilations) > 1
+            and all(d <= 2 for d in dilations)
+        )
+        if packable:
+            out = out + self._packed_branches(x, len(dilations), training)
+        else:
+            for i, dilation in enumerate(dilations):
+                out = out + ResConvBlock2d(
+                    out_channels=self.out_channels,
+                    kernel_size=self.kernel_size,
+                    dilation=dilation,
+                    activation_type=self.activation_type,
+                    num_blocks=self.num_blocks,
+                    batchnorm_first=self.batchnorm_first,
+                    name=f"res_branch_{i}",
+                )(x, training)
 
         if self.attention_weights == AttentionTypes.NATTEN:
             # LayerNorm sandwich around neighborhood attention, added to the
@@ -289,6 +312,79 @@ class ResidualAConv(nn.Module):
             )
 
         return out
+
+    def _packed_branches(self, x: Array, n: int, training: bool) -> Array:
+        """Sum of the n parallel dilated branches, computed packed.
+
+        XLA executes the branches sequentially: at hidden=32 each branch
+        conv keeps only 32-128 of the MXU's 128 output lanes busy
+        (BASELINE.md MFU ablation: encoder 8%). Packing runs all branches
+        at once:
+
+        - conv1: the n C->O kernels concatenated -> one C->n*O conv (each
+          output channel's contraction is unchanged, so values match).
+        - one grouped BatchNorm + activation over the packed channels
+          (BN is per-channel, so statistics are identical to per-branch).
+        - conv2 (branch-local O->O) by measured width policy: a dense
+          block-diagonal n*O->n*O conv when O <= 32 (2x FLOPs, but
+          zero-block contributions are exact zeros and the 4x lane fill
+          wins: 2.79 vs 3.53 ms at O=32; `feature_group_count` lowers
+          ~1.5x SLOWER on TPU and is not used), else per-branch convs on
+          the packed halves (never worse than unpacked, BASELINE.md).
+
+        Parameter names, shapes, and init draws are identical to the
+        unpacked path (nn/packed.py holders), so checkpoints and the
+        torch importer are unaffected.
+        """
+        from .packed import (
+            ResBranchParams,
+            conv2d_same,
+            packed_batch_norm,
+        )
+
+        act = get_activation(self.activation_type)
+        o = self.out_channels
+        holders = [
+            ResBranchParams(x.shape[-1], o, name=f"res_branch_{i}")
+            for i in range(n)
+        ]
+        parts = [h() for h in holders]
+
+        k1 = jnp.concatenate([p[0] for p in parts], axis=-1)  # (3,3,C,n*O)
+        z = conv2d_same(x, k1)
+        z, (mean1, var1) = packed_batch_norm(
+            z, [p[1] for p in parts], training
+        )
+        z = act(z)
+
+        if o <= 32:
+            k2 = jnp.zeros((3, 3, n * o, n * o), parts[0][2].dtype)
+            for i, p in enumerate(parts):
+                sl = slice(i * o, (i + 1) * o)
+                k2 = k2.at[:, :, sl, sl].set(p[2])
+            z = conv2d_same(z, k2)
+        else:
+            z = jnp.concatenate(
+                [
+                    conv2d_same(z[..., i * o : (i + 1) * o], p[2])
+                    for i, p in enumerate(parts)
+                ],
+                axis=-1,
+            )
+        z, (mean2, var2) = packed_batch_norm(
+            z, [p[3] for p in parts], training
+        )
+        z = act(z)
+
+        if training:
+            for i, h in enumerate(holders):
+                sl = slice(i * o, (i + 1) * o)
+                h(((mean1[sl], var1[sl]), (mean2[sl], var2[sl])))
+
+        total = z[..., :o]
+        for i in range(1, n):
+            total = total + z[..., i * o : (i + 1) * o]
+        return total
 
 
 def adaptive_max_pool_half(x: Array) -> Array:

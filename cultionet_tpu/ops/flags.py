@@ -55,6 +55,30 @@ def pallas_temporal_enabled() -> bool:
         return False
 
 
+_USE_PACKED_RESA: T.Optional[bool] = None
+
+
+def set_packed_resa(enabled: T.Optional[bool]) -> None:
+    """Force the lane-packed ResidualAConv branches on/off (None = auto:
+    env CULTIONET_TPU_PACKED_RESA, else on)."""
+    global _USE_PACKED_RESA
+    _USE_PACKED_RESA = enabled
+
+
+def packed_resa_enabled() -> bool:
+    if _USE_PACKED_RESA is not None:
+        return _USE_PACKED_RESA
+    env = os.environ.get("CULTIONET_TPU_PACKED_RESA")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    # Default: on everywhere. Like the packed head, the packed ResUNet-a
+    # branches are plain XLA with unchanged per-channel contractions
+    # (concatenated first conv, grouped second conv), so values match the
+    # unpacked path to fp round-off; on TPU the branch convs run at 2x the
+    # lane fill with half the op count (BASELINE.md MFU ablation).
+    return True
+
+
 _USE_PACKED_HEAD: T.Optional[bool] = None
 
 
