@@ -43,6 +43,13 @@ def main():
     ap.add_argument("--augment-prob", type=float, default=0.0)
     ap.add_argument("--out", default="jax_history.json")
     ap.add_argument("--ckpt-dir", default="jax_usa_ckpt")
+    ap.add_argument(
+        "--use-chipstore",
+        default=None,
+        choices=[None, "stream", "hbm", "auto"],
+        help="fast train-input path: 'hbm' pins the int16 split on device "
+        "(e2e == step rate); default None streams host-loaded batches",
+    )
     args = ap.parse_args()
 
     import jax
@@ -107,6 +114,7 @@ def main():
         gradient_clip_val=1.0,
         precision=args.precision,
         random_seed=args.seed,
+        use_chipstore=args.use_chipstore or False,
     )
 
     t0 = time.time()
