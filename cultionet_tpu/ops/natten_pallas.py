@@ -389,8 +389,12 @@ def _na2d_fwd_impl(
 
     scale = head_dim**-0.5
     q = q_ref[0].astype(jnp.float32) * scale
-    kb = kb_ref[:].astype(jnp.float32)
-    vb = vb_ref[:].astype(jnp.float32)
+    # Keep the k/v bands in their storage dtype through the roll/select
+    # shift machinery: the f32 upcast of a bf16 value is exact and jnp
+    # promotes f32*bf16 products to f32, so casting AFTER the shifts is
+    # bit-identical while halving the VPU/VMEM traffic of every roll.
+    kb = kb_ref[:]
+    vb = vb_ref[:]
     mask = m_ref[:]
     # bf16 inputs -> bf16 MXU passes (fp32 accumulation); fp32 stays exact.
     mm = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
@@ -496,8 +500,9 @@ def _na2d_bwd_impl(
     scale = head_dim**-0.5
     qs = q_ref[0].astype(jnp.float32) * scale
     g = g_ref[0].astype(jnp.float32)
-    kb = kb_ref[:].astype(jnp.float32)
-    vb = vb_ref[:].astype(jnp.float32)
+    # Storage-dtype k/v bands through the shifts (exact: see fwd impl).
+    kb = kb_ref[:]
+    vb = vb_ref[:]
     mask = m_ref[:]
     mm = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
 
