@@ -141,6 +141,56 @@ def test_cli_version(capsys):
     assert captured.out.strip()
 
 
+def test_cli_transfer_pipeline(tmp_path):
+    """train-transfer fine-tunes from the plain train run's last_store and
+    writes its own last_transfer_store; predict-transfer loads that store
+    (reference scripts/cultionet.py train-transfer/predict-transfer wiring,
+    model.py:331-404)."""
+    project = make_project(tmp_path)
+    run_cli(["create", "-p", str(project)])
+    train_args = [
+        "-p", str(project),
+        "--epochs", "1",
+        "--hidden-channels", "4",
+        "--dilations", "1",
+        "--attention-weights", "none",
+        "--batch-size", "1",
+        "--precision", "32",
+        "--dropout", "0.0",
+        "--val-frac", "0.34",
+        "--augment-prob", "0.0",
+    ]
+    run_cli(["train"] + train_args)
+    assert (project / "ckpt" / "last_store" / "best" / "model").exists()
+
+    run_cli(["train-transfer"] + train_args)
+    assert (
+        project / "ckpt" / "last_transfer_store" / "best" / "model"
+    ).exists()
+    # the pretrained store is untouched by the transfer run
+    assert (project / "ckpt" / "last_store" / "best" / "model").exists()
+
+    run_cli(
+        [
+            "create-predict",
+            "-p", str(project),
+            "--regions", "000000",
+            "--window-size", "32",
+            "--padding", "8",
+        ]
+    )
+    run_cli(
+        [
+            "predict-transfer",
+            "-p", str(project),
+            "--region", "000000",
+            "-o", str(project / "out_transfer.tif"),
+        ]
+    )
+    raster = np.load(project / "out_transfer.npz")["raster"]
+    assert raster.shape == (3, 64, 64)
+
+
 def test_cli_create_knob_tail(tmp_path):
     """bbox-offsets writes extra shifted chips; --append-ts n reads
     imagery from the project root; --data-pattern filters train files."""
