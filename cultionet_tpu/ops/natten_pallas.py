@@ -389,12 +389,13 @@ def _na2d_fwd_impl(
 
     scale = head_dim**-0.5
     q = q_ref[0].astype(jnp.float32) * scale
-    # Keep the k/v bands in their storage dtype through the roll/select
-    # shift machinery: the f32 upcast of a bf16 value is exact and jnp
-    # promotes f32*bf16 products to f32, so casting AFTER the shifts is
-    # bit-identical while halving the VPU/VMEM traffic of every roll.
-    kb = kb_ref[:]
-    vb = vb_ref[:]
+    # Upcast the k/v bands to f32 BEFORE the roll/select shift machinery:
+    # Mosaic lowers pltpu.roll to tpu.dynamic_rotate, which only supports
+    # 32-bit element types on v5e ("Rotate with non-32-bit data" compile
+    # error for bf16 bands), so the storage-dtype shortcut cannot compile
+    # on real hardware even though it is exact in interpret mode.
+    kb = kb_ref[:].astype(jnp.float32)
+    vb = vb_ref[:].astype(jnp.float32)
     mask = m_ref[:]
     # bf16 inputs -> bf16 MXU passes (fp32 accumulation); fp32 stays exact.
     mm = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
@@ -500,9 +501,10 @@ def _na2d_bwd_impl(
     scale = head_dim**-0.5
     qs = q_ref[0].astype(jnp.float32) * scale
     g = g_ref[0].astype(jnp.float32)
-    # Storage-dtype k/v bands through the shifts (exact: see fwd impl).
-    kb = kb_ref[:]
-    vb = vb_ref[:]
+    # f32 bands before the shifts (tpu.dynamic_rotate is 32-bit only; see
+    # the fwd impl note).
+    kb = kb_ref[:].astype(jnp.float32)
+    vb = vb_ref[:].astype(jnp.float32)
     mask = m_ref[:]
     mm = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
 
