@@ -654,6 +654,7 @@ def na2d_pallas(
     interpret: bool = False,
     attn_drop: float = 0.0,
     seed: T.Optional[Array] = None,
+    target_band_px: T.Optional[int] = None,
 ) -> Array:
     """Banded Pallas neighborhood attention, drop-in for
     ops.natten.neighborhood_attention_2d (exact NATTEN clamped-window
@@ -662,6 +663,9 @@ def na2d_pallas(
     ``attn_drop`` > 0 applies inverted dropout to the attention weights
     in-kernel (hardware PRNG seeded from ``seed`` + program ids) — the
     natten module's attn_drop, without leaving the fused path.
+
+    ``target_band_px`` overrides the band-size heuristic (tests and band
+    sweeps); the plan still balances rows across the resulting band count.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -682,7 +686,8 @@ def na2d_pallas(
     # must coincide for the backward to redraw the same mask per pixel.
     plan = _make_plan(
         batch, height, width, num_heads, head_dim, kernel_size, dilation,
-        target_band_px=_BWD_BAND_PX if attn_drop > 0 else 4096,
+        target_band_px=target_band_px
+        or (_BWD_BAND_PX if attn_drop > 0 else 4096),
     )
     qf = _query_flat(_to_lanes(q, plan), plan)
     kf = _kv_flat(_to_lanes(k, plan), plan)

@@ -97,3 +97,91 @@ def test_na2d_bf16_storage_dtype_shifts(dilation):
             atol=0.08,
             rtol=0.08,
         )
+
+
+# ---------------------------------------------------------------------------
+# Band partition balancing (experiments/na_band_sweep.json): the plan must
+# split rows evenly across the band count — a target-size-driven split left
+# 50x50 sites a mostly-padding final band (~30% wasted work on v5e).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dilation", [1, 2])
+@pytest.mark.parametrize("target", [256, 1024, 2048, 4096])
+def test_make_plan_band_balance_invariants(dilation, target):
+    from cultionet_tpu.ops.natten_pallas import _make_plan
+
+    for height in list(range(3, 64)) + [100, 128, 137, 200, 512]:
+        for width in (8, 25, 50, 100):
+            if min(height, width) < 3 * dilation:
+                continue
+            plan = _make_plan(
+                batch=2,
+                height=height,
+                width=width,
+                num_heads=2,
+                head_dim=8,
+                kernel_size=3,
+                dilation=dilation,
+                target_band_px=target,
+            )
+            ctx = f"H={height} W={width} d={dilation} t={target}: {plan}"
+            # Coverage: bands tile the (padded) height.
+            assert plan.num_bands * plan.rows_per_band == plan.height_pad, ctx
+            assert plan.height_pad >= height, ctx
+            # Mosaic sublane alignment: even rows, at least one window step.
+            assert plan.rows_per_band % 2 == 0, ctx
+            assert plan.rows_per_band >= 2, ctx
+            # Balance: rows = even-ceil(H / num_bands) — no band carries
+            # more than one even-rounding step of padding beyond its share,
+            # and the final band is never empty.
+            expected_rows = max(2, -(-(-(-height // plan.num_bands)) // 2) * 2)
+            assert plan.rows_per_band == expected_rows, ctx
+            assert (plan.num_bands - 1) * plan.rows_per_band < height, ctx
+
+
+def test_na2d_pallas_multiband_balanced_fwd():
+    """Forward parity through a balanced multi-band plan (interpret mode)."""
+    from cultionet_tpu.ops.natten_pallas import _make_plan
+
+    rng = np.random.default_rng(3)
+    shape = (2, 40, 12, 2, 8)
+    q = jnp.asarray(rng.normal(size=shape), dtype=jnp.float32)
+    k = jnp.asarray(rng.normal(size=shape), dtype=jnp.float32)
+    v = jnp.asarray(rng.normal(size=shape), dtype=jnp.float32)
+
+    plan = _make_plan(2, 40, 12, 2, 8, 3, 1, target_band_px=256)
+    assert plan.num_bands >= 3  # the override really forces multi-band
+
+    expected = neighborhood_attention_2d(q, k, v, 3, 1)
+    got = na2d_pallas(q, k, v, 3, 1, interpret=True, target_band_px=256)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_na2d_fused_multiband_balanced_grad(monkeypatch):
+    """Backward parity when the shared fwd/bwd band plan is multi-band."""
+    from cultionet_tpu.ops import natten_pallas
+
+    monkeypatch.setattr(natten_pallas, "_BWD_BAND_PX", 256)
+    rng = np.random.default_rng(4)
+    shape = (1, 40, 12, 2, 8)
+    q = jnp.asarray(rng.normal(size=shape), dtype=jnp.float32)
+    k = jnp.asarray(rng.normal(size=shape), dtype=jnp.float32)
+    v = jnp.asarray(rng.normal(size=shape), dtype=jnp.float32)
+    g = jnp.asarray(rng.normal(size=shape), dtype=jnp.float32)
+
+    _, vjp_fused = jax.vjp(
+        lambda q_, k_, v_: na2d_fused(q_, k_, v_, 3, 1, True), q, k, v
+    )
+    _, vjp_ref = jax.vjp(
+        lambda q_, k_, v_: neighborhood_attention_2d(q_, k_, v_, 3, 1),
+        q,
+        k,
+        v,
+    )
+    for a, b in zip(vjp_fused(g), vjp_ref(g)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
