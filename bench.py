@@ -285,6 +285,29 @@ def main() -> None:
     except Exception:
         pass
 
+    # ---- Forward-only predict rate (the inference path's inner step) ----
+    # _inference_apply dequantizes internally, so the resident int16 batch
+    # is exactly what ScenePredictor feeds per window batch.
+    predict_chips_per_sec = 0.0
+    try:
+        from cultionet_tpu.train.step import make_predict_step
+
+        pstep = make_predict_step(precision=precision)
+        for _ in range(3):  # compile + warm
+            outputs = pstep(state, batch)
+        _sync(outputs["distance"].sum())
+        n_pred = 30
+        best_pred = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            for _ in range(n_pred):
+                outputs = pstep(state, batch)
+            _sync(outputs["distance"].sum())
+            best_pred = min(best_pred, time.perf_counter() - start)
+        predict_chips_per_sec = n_pred * batch_size / best_pred
+    except Exception:
+        pass
+
     target = 1.0  # driver-set floor: 1 canonical chip/sec (BASELINE.json)
     value = step_chips_per_sec
 
@@ -305,6 +328,9 @@ def main() -> None:
                     "e2e_chips_per_sec_tunnel": round(e2e_chips_per_sec, 3),
                     "loader_only_chips_per_sec": round(
                         loader_chips_per_sec, 3
+                    ),
+                    "predict_fwd_chips_per_sec": round(
+                        predict_chips_per_sec, 3
                     ),
                     "step_time_ms": round(step_time * 1e3, 3),
                     "flops_per_step": flops_per_step,
