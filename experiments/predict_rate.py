@@ -9,7 +9,11 @@ Usage: python experiments/predict_rate.py [--hidden 32] [--out FILE]
 
 import argparse
 import json
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import numpy as np
