@@ -24,6 +24,7 @@ the reference itself publishes no numbers (BASELINE.md).
 """
 
 import json
+import sys
 import tempfile
 import time
 from pathlib import Path
@@ -150,8 +151,8 @@ def main() -> None:
         peak = _peak_flops(device)
         if peak and flops_per_step:
             mfu = (flops_per_step / step_time) / peak
-    except Exception:
-        pass
+    except Exception as exc:
+        print(f"bench: MFU cost analysis failed: {exc!r}", file=sys.stderr)
 
     # ---- End-to-end: native chipstore -> host batch -> device -> step ----
     n_chips = 192  # ~1.1 GB store; epochs reshuffle endlessly during timing
@@ -226,6 +227,12 @@ def main() -> None:
     # trains. This is use_chipstore='hbm' (data/device_cache.py): e2e ==
     # step rate by construction, tunnel or not.
     e2e_hbm_chips_per_sec = 0.0
+    # hbm_step donates `state`; a mid-flight failure after donation would
+    # leave dead buffers behind. Keep a device-side copy so the predict
+    # block below always has a live state (ADVICE r3).
+    state_backup = jax.tree_util.tree_map(
+        lambda v: v.copy() if isinstance(v, jax.Array) else v, state
+    )
     try:
         from cultionet_tpu.train.step import make_hbm_train_step
 
@@ -282,8 +289,9 @@ def main() -> None:
             _sync(logs["loss"])
             best_hbm = min(best_hbm, time.perf_counter() - start)
         e2e_hbm_chips_per_sec = n_hbm * batch_size / best_hbm
-    except Exception:
-        pass
+    except Exception as exc:
+        print(f"bench: HBM-resident block failed: {exc!r}", file=sys.stderr)
+        state = state_backup
 
     # ---- Forward-only predict rate (the inference path's inner step) ----
     # _inference_apply dequantizes internally, so the resident int16 batch
@@ -292,21 +300,21 @@ def main() -> None:
     try:
         from cultionet_tpu.train.step import make_predict_step
 
+        from cultionet_tpu.utils.timing import best_of
+
         pstep = make_predict_step(precision=precision)
         for _ in range(3):  # compile + warm
             outputs = pstep(state, batch)
         _sync(outputs["distance"].sum())
-        n_pred = 30
-        best_pred = float("inf")
-        for _ in range(3):
-            start = time.perf_counter()
-            for _ in range(n_pred):
-                outputs = pstep(state, batch)
-            _sync(outputs["distance"].sum())
-            best_pred = min(best_pred, time.perf_counter() - start)
-        predict_chips_per_sec = n_pred * batch_size / best_pred
-    except Exception:
-        pass
+        sec_per_call = best_of(
+            lambda: pstep(state, batch),
+            lambda out: _sync(out["distance"].sum()),
+            n_iters=30,
+            repeats=3,
+        )
+        predict_chips_per_sec = batch_size / sec_per_call
+    except Exception as exc:
+        print(f"bench: predict-rate block failed: {exc!r}", file=sys.stderr)
 
     target = 1.0  # driver-set floor: 1 canonical chip/sec (BASELINE.json)
     value = step_chips_per_sec

@@ -44,6 +44,14 @@ def main():
     ap.add_argument("--out", default="jax_history.json")
     ap.add_argument("--ckpt-dir", default="jax_usa_ckpt")
     ap.add_argument(
+        "--temporal-encoder",
+        default="conv",
+        choices=["conv", "transformer"],
+        help="B,C,T,H,W temporal embedding: the reference's 3-D-conv "
+        "PreTimeReduction (nunet.py:18-105) or the restored "
+        "TemporalTransformer (north-star config #3)",
+    )
+    ap.add_argument(
         "--use-chipstore",
         default=None,
         choices=[None, "stream", "hbm", "auto"],
@@ -115,6 +123,7 @@ def main():
         precision=args.precision,
         random_seed=args.seed,
         use_chipstore=args.use_chipstore or False,
+        temporal_encoder=args.temporal_encoder,
     )
 
     t0 = time.time()

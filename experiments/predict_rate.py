@@ -10,13 +10,14 @@ Usage: python experiments/predict_rate.py [--hidden 32] [--out FILE]
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import numpy as np
+
+from cultionet_tpu.utils.timing import best_of  # noqa: E402
 
 
 def _sync(x) -> float:
@@ -67,20 +68,18 @@ def main() -> None:
         for _ in range(3):
             outputs = pstep(state, batch)
         _sync(outputs["distance"].sum())
-        n = 30
-        best = float("inf")
-        for _ in range(3):
-            start = time.perf_counter()
-            for _ in range(n):
-                outputs = pstep(state, batch)
-            _sync(outputs["distance"].sum())
-            best = min(best, time.perf_counter() - start)
-        rate = n * bs / best
+        sec = best_of(
+            lambda: pstep(state, batch),
+            lambda out: _sync(out["distance"].sum()),
+            n_iters=30,
+            repeats=3,
+        )
+        rate = bs / sec
         results[str(bs)] = {
-            "ms_per_step": round(best / n * 1e3, 2),
+            "ms_per_step": round(sec * 1e3, 2),
             "chips_per_sec": round(rate, 1),
         }
-        print(f"bs={bs}: {best / n * 1e3:.2f} ms/step, {rate:.1f} chips/s")
+        print(f"bs={bs}: {sec * 1e3:.2f} ms/step, {rate:.1f} chips/s")
 
     out = {
         "hidden": args.hidden,
@@ -92,6 +91,7 @@ def main() -> None:
     if args.out:
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)
+            f.write("\n")
 
 
 if __name__ == "__main__":
