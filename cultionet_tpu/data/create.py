@@ -176,6 +176,7 @@ def create_train_batch(
     all_touched: bool = True,
     zero_padding: int = 0,
     grid_size: T.Optional[T.Tuple[int, int]] = None,
+    compression: str = "zlib",
 ) -> T.Optional[Path]:
     """Build one training chip and write it (reference data/create.py:559-778).
 
@@ -254,7 +255,7 @@ def create_train_batch(
         batch_id=(f"{train_id}.npz",),
     )
     out_path = process_path / f"{train_id}.npz"
-    batch.to_file(out_path)
+    batch.to_file(out_path, compression=compression)
     return out_path
 
 
@@ -279,6 +280,7 @@ class BatchStore:
         end_date: str,
         bounds: T.Tuple[float, float, float, float] = (0.0, 0.0, 1.0, 1.0),
         retries: int = 5,
+        compression: str = "zlib",
     ):
         self.write_path = Path(write_path)
         self.write_path.mkdir(parents=True, exist_ok=True)
@@ -289,6 +291,7 @@ class BatchStore:
         self.end_date = end_date
         self.bounds = bounds
         self.retries = retries
+        self.compression = compression
 
     def write_window(
         self,
@@ -332,13 +335,75 @@ class BatchStore:
 
         last_error: T.Optional[Exception] = None
         for _ in range(self.retries):
-            batch.to_file(out_path)
+            batch.to_file(out_path, compression=self.compression)
             try:
                 Batch.from_file(out_path)
                 return out_path
             except Exception as exc:  # corrupted write: retry
                 last_error = exc
         raise IOError(f"Failed to verify window write {out_path}: {last_error}")
+
+
+def _fork_available() -> bool:
+    import multiprocessing
+
+    return "fork" in multiprocessing.get_all_start_methods()
+
+
+def iter_window_jobs(
+    height: int, width: int, window_size: int, padding: int
+) -> T.Iterator[dict]:
+    """Window index geometry for one scene: interior offsets plus the
+    padded read slice and the top/left zero-pad a window near the scene
+    edge needs. Pure indices — workers slice the scene themselves so a
+    process pool never pickles pixel data per job."""
+    for row_off in range(0, height, window_size):
+        for col_off in range(0, width, window_size):
+            window_height = min(window_size, height - row_off)
+            window_width = min(window_size, width - col_off)
+            read_r0 = max(0, row_off - padding)
+            read_c0 = max(0, col_off - padding)
+            read_r1 = min(height, row_off + window_height + padding)
+            read_c1 = min(width, col_off + window_width + padding)
+            yield dict(
+                row_off=row_off,
+                col_off=col_off,
+                window_height=window_height,
+                window_width=window_width,
+                read=(read_r0, read_r1, read_c0, read_c1),
+                pad_top=padding - (row_off - read_r0),
+                pad_left=padding - (col_off - read_c0),
+            )
+
+
+def _slice_window(x: np.ndarray, job: dict) -> np.ndarray:
+    read_r0, read_r1, read_c0, read_c1 = job["read"]
+    window = x[:, read_r0:read_r1, read_c0:read_c1]
+    if job["pad_top"] > 0 or job["pad_left"] > 0:
+        window = np.pad(
+            window,
+            ((0, 0), (job["pad_top"], 0), (job["pad_left"], 0), (0, 0)),
+            mode="constant",
+        )
+    return window
+
+
+# Fork-inherited worker context: the prepared scene and the store travel
+# to ProcessPoolExecutor workers by copy-on-write fork, not per-job
+# pickling (the reference ships windows through Ray's object store,
+# create.py:216-246; on one host fork sharing is strictly cheaper).
+_WORKER_CTX: T.Optional[T.Tuple[np.ndarray, "BatchStore"]] = None
+
+
+def _window_worker(job: dict) -> Path:
+    x, store = _WORKER_CTX
+    return store.write_window(
+        x_window=_slice_window(x, job),
+        row_off=job["row_off"],
+        col_off=job["col_off"],
+        window_height=job["window_height"],
+        window_width=job["window_width"],
+    )
 
 
 def create_predict_dataset(
@@ -353,10 +418,18 @@ def create_predict_dataset(
     offset: float = 0.0,
     bounds: T.Tuple[float, float, float, float] = (0.0, 0.0, 1.0, 1.0),
     num_workers: int = 4,
+    use_processes: T.Union[bool, str] = "auto",
+    compression: str = "zlib",
 ) -> T.List[Path]:
     """Split a full scene into overlapping uniform windows and write one chip
-    per window in parallel (reference data/create.py:114-246; Ray/dask
-    replaced by a thread pool)."""
+    per window in parallel (reference data/create.py:114-246; the Ray+dask
+    scheduler becomes a fork-based process pool — with the pure-python TIFF
+    codec active the npz serialization is GIL-bound Python, so threads
+    cannot scale it).
+
+    ``use_processes``: True forces the process pool, False the thread
+    pool, "auto" picks processes when fork is available and num_workers>1.
+    """
     x = prepare_image_time_series(
         image_time_series, gain=gain, offset=offset, fill_zeros=False
     )
@@ -370,36 +443,52 @@ def create_predict_dataset(
         start_date=start_date,
         end_date=end_date,
         bounds=bounds,
+        compression=compression,
     )
 
-    jobs = []
-    for row_off in range(0, height, window_size):
-        for col_off in range(0, width, window_size):
-            window_height = min(window_size, height - row_off)
-            window_width = min(window_size, width - col_off)
-            read_r0 = max(0, row_off - padding)
-            read_c0 = max(0, col_off - padding)
-            read_r1 = min(height, row_off + window_height + padding)
-            read_c1 = min(width, col_off + window_width + padding)
-            pad_top = padding - (row_off - read_r0)
-            pad_left = padding - (col_off - read_c0)
-            window = x[:, read_r0:read_r1, read_c0:read_c1]
-            if pad_top > 0 or pad_left > 0:
-                window = np.pad(
-                    window,
-                    ((0, 0), (pad_top, 0), (pad_left, 0), (0, 0)),
-                    mode="constant",
-                )
-            jobs.append(
-                dict(
-                    x_window=window,
-                    row_off=row_off,
-                    col_off=col_off,
-                    window_height=window_height,
-                    window_width=window_width,
-                )
+    jobs = list(iter_window_jobs(height, width, window_size, padding))
+    num_workers = max(1, num_workers)
+    if use_processes == "auto":
+        use_processes = num_workers > 1 and _fork_available()
+
+    if num_workers == 1:
+        paths = [
+            store.write_window(
+                x_window=_slice_window(x, job),
+                row_off=job["row_off"],
+                col_off=job["col_off"],
+                window_height=job["window_height"],
+                window_width=job["window_width"],
+            )
+            for job in jobs
+        ]
+    elif use_processes:
+        import multiprocessing
+        from concurrent.futures import ProcessPoolExecutor
+
+        global _WORKER_CTX
+        _WORKER_CTX = (x, store)
+        try:
+            ctx = multiprocessing.get_context("fork")
+            with ProcessPoolExecutor(
+                max_workers=num_workers, mp_context=ctx
+            ) as pool:
+                paths = list(pool.map(_window_worker, jobs, chunksize=4))
+        finally:
+            _WORKER_CTX = None
+    else:
+        _WORKER_CTX_local = (x, store)
+
+        def run(job):
+            xx, st = _WORKER_CTX_local
+            return st.write_window(
+                x_window=_slice_window(xx, job),
+                row_off=job["row_off"],
+                col_off=job["col_off"],
+                window_height=job["window_height"],
+                window_width=job["window_width"],
             )
 
-    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
-        paths = list(pool.map(lambda kw: store.write_window(**kw), jobs))
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            paths = list(pool.map(run, jobs))
     return paths

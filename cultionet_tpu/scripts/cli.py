@@ -26,7 +26,11 @@ import yaml
 
 from .. import __version__
 from ..config import CultionetParams
-from ..data.create import create_predict_dataset, create_train_batch
+from ..data.create import (
+    _fork_available,
+    create_predict_dataset,
+    create_train_batch,
+)
 from ..data.datasets import ChipDataset
 from ..data.loader import ChipLoader
 from ..enums import CLISteps, Destinations, ModelNames
@@ -294,6 +298,41 @@ def _shift_scene(
     return shifted, new_bounds
 
 
+def _create_region_job(spec: T.Dict[str, T.Any]) -> T.List[str]:
+    """Create the train chip(s) for one region — the per-grid unit of work
+    the reference fans out over a joblib loky pool
+    (scripts/cultionet.py:512-529). Module-level and driven by one
+    picklable spec dict so it runs identically inline or in a
+    ProcessPoolExecutor worker; returns log lines for the parent."""
+    region_path = Path(spec["region_path"])
+    x, bounds, cell_res, _, polygons = load_scene(
+        region_path, **spec["scene_kwargs"]
+    )
+    msgs: T.List[str] = []
+    # (0, 0) plus any user offsets; each offset writes an extra chip
+    # under a distinct region id (reference bbox_offsets loop,
+    # scripts/cultionet.py:233-263).
+    for off in spec["offsets"]:
+        if off == (0.0, 0.0):
+            region_id, off_x, off_bounds = region_path.name, x, bounds
+        else:
+            off_x, off_bounds = _shift_scene(x, bounds, cell_res, off)
+            region_id = f"{region_path.name}-off{off[0]:g}x{off[1]:g}"
+        out = create_train_batch(
+            image_time_series=off_x,
+            polygons=polygons,
+            bounds=off_bounds,
+            cell_res=cell_res,
+            region=region_id,
+            **spec["batch_kwargs"],
+        )
+        if out is None:
+            msgs.append(f"{region_id}: already processed")
+        else:
+            msgs.append(f"{region_id}: wrote {out.name}")
+    return msgs
+
+
 def create_dataset(args: argparse.Namespace) -> None:
     ppaths = setup_paths(
         args.project_path,
@@ -314,62 +353,69 @@ def create_dataset(args: argparse.Namespace) -> None:
     if getattr(args, "grid_id", None):
         regions = [args.grid_id]
     image_root = getattr(args, "time_series_path", None)
-    for region_path in iter_regions(
-        ppaths,
-        regions,
-        base=Path(image_root) if image_root else None,
-    ):
-        x, bounds, cell_res, _, polygons = load_scene(
-            region_path,
-            window=window,
-            ref_res=getattr(args, "ref_res", None),
-            resampling=getattr(args, "resampling", "nearest"),
-            date_format=getattr(args, "date_format", None),
-            class_column=getattr(args, "crop_column", None),
-            replace_dict=replace_dict,
-            feature_pattern=getattr(args, "feature_pattern", None),
-            image_vis=config.get("image_vis"),
-            skip_index=getattr(args, "skip_index", 0),
+
+    scene_kwargs = dict(
+        window=window,
+        ref_res=getattr(args, "ref_res", None),
+        resampling=getattr(args, "resampling", "nearest"),
+        date_format=getattr(args, "date_format", None),
+        class_column=getattr(args, "crop_column", None),
+        replace_dict=replace_dict,
+        feature_pattern=getattr(args, "feature_pattern", None),
+        image_vis=config.get("image_vis"),
+        skip_index=getattr(args, "skip_index", 0),
+    )
+    batch_kwargs = dict(
+        process_path=ppaths.process_path,
+        start_date=args.start_date,
+        end_date=args.end_date,
+        gain=getattr(args, "gain", 1e-4),
+        offset=getattr(args, "offset", 0.0),
+        max_crop_class=args.max_crop_class,
+        keep_crop_classes=args.keep_crop_classes,
+        nonag_is_unknown=args.nonag_is_unknown,
+        overwrite=args.overwrite,
+        all_touched=getattr(args, "all_touched", False),
+        zero_padding=getattr(args, "zero_padding", 0),
+        grid_size=tuple(grid_size) if grid_size is not None else None,
+        compression=getattr(args, "compression", "zlib"),
+    )
+    offsets = [(0.0, 0.0)] + _parse_bbox_offsets(
+        getattr(args, "bbox_offsets", None)
+    )
+    specs = [
+        dict(
+            region_path=str(region_path),
+            scene_kwargs=scene_kwargs,
+            batch_kwargs=batch_kwargs,
+            offsets=offsets,
         )
-        # (0, 0) plus any user offsets; each offset writes an extra chip
-        # under a distinct region id (reference bbox_offsets loop,
-        # scripts/cultionet.py:233-263).
-        offsets = [(0.0, 0.0)] + _parse_bbox_offsets(
-            getattr(args, "bbox_offsets", None)
+        for region_path in iter_regions(
+            ppaths,
+            regions,
+            base=Path(image_root) if image_root else None,
         )
-        for off in offsets:
-            if off == (0.0, 0.0):
-                region_id, off_x, off_bounds = region_path.name, x, bounds
-            else:
-                off_x, off_bounds = _shift_scene(x, bounds, cell_res, off)
-                region_id = (
-                    f"{region_path.name}-off{off[0]:g}x{off[1]:g}"
-                )
-            out = create_train_batch(
-                image_time_series=off_x,
-                polygons=polygons,
-                bounds=off_bounds,
-                cell_res=cell_res,
-                region=region_id,
-                process_path=ppaths.process_path,
-                start_date=args.start_date,
-                end_date=args.end_date,
-                gain=getattr(args, "gain", 1e-4),
-                offset=getattr(args, "offset", 0.0),
-                max_crop_class=args.max_crop_class,
-                keep_crop_classes=args.keep_crop_classes,
-                nonag_is_unknown=args.nonag_is_unknown,
-                overwrite=args.overwrite,
-                all_touched=getattr(args, "all_touched", False),
-                zero_padding=getattr(args, "zero_padding", 0),
-                grid_size=(
-                    tuple(grid_size) if grid_size is not None else None
-                ),
-            )
-            if out is None:
-                logger.info(f"{region_id}: already processed")
-            else:
-                logger.info(f"{region_id}: wrote {out.name}")
+    ]
+
+    num_workers = int(getattr(args, "num_workers", 1) or 1)
+    if num_workers > 1 and len(specs) > 1 and _fork_available():
+        # Per-grid process pool (reference joblib loky,
+        # scripts/cultionet.py:512-529): the pure-python TIFF decode and
+        # npz serialization are GIL-bound, so threads cannot scale this.
+        import multiprocessing
+        from concurrent.futures import ProcessPoolExecutor
+
+        ctx = multiprocessing.get_context("fork")
+        with ProcessPoolExecutor(
+            max_workers=num_workers, mp_context=ctx
+        ) as pool:
+            for msgs in pool.map(_create_region_job, specs):
+                for msg in msgs:
+                    logger.info(msg)
+    else:
+        for spec in specs:
+            for msg in _create_region_job(spec):
+                logger.info(msg)
 
 
 def _season_window(args: argparse.Namespace, config: dict) -> T.Optional[dict]:
@@ -423,6 +469,7 @@ def create_predict(args: argparse.Namespace) -> None:
             padding=args.padding,
             bounds=bounds,
             num_workers=args.num_workers,
+            compression=getattr(args, "compression", "zlib"),
         )
         logger.info(f"{region_path.name}: wrote {len(paths)} windows")
 

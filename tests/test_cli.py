@@ -219,3 +219,48 @@ def test_cli_create_knob_tail(tmp_path):
     shutil.copytree(project / "time_series_vars" / "000000", flat / "000000")
     run_cli(["create", "-p", str(flat), "--append-ts", "n"])
     assert len(list((flat / "data/train/processed").glob("*.npz"))) == 1
+
+
+def _chip_content_digest(processed: Path) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for f in sorted(processed.glob("*.npz")):
+        h.update(f.name.encode())
+        with np.load(f, allow_pickle=False) as z:
+            for k in sorted(z.files):
+                h.update(k.encode())
+                h.update(np.ascontiguousarray(z[k]).tobytes())
+    return h.hexdigest()
+
+
+def test_create_process_pool_matches_serial(tmp_path):
+    """--num-workers N fans per-grid creation over a fork process pool
+    (reference joblib loky, scripts/cultionet.py:512-529); chip contents
+    must be identical to the serial path."""
+    project = make_project(tmp_path, num_regions=4)
+    run_cli(["create", "-p", str(project)])
+    processed = project / "data/train/processed"
+    assert len(list(processed.glob("*.npz"))) == 4
+    serial = _chip_content_digest(processed)
+
+    run_cli(["create", "-p", str(project), "--num-workers", "3",
+             "--overwrite"])
+    assert len(list(processed.glob("*.npz"))) == 4
+    assert _chip_content_digest(processed) == serial
+
+
+def test_create_compression_none(tmp_path):
+    """--compression none writes uncompressed npz chips that load
+    identically (reference compression knob, args.yml)."""
+    project = make_project(tmp_path, num_regions=1)
+    run_cli(["create", "-p", str(project)])
+    processed = project / "data/train/processed"
+    zlib_digest = _chip_content_digest(processed)
+    zlib_bytes = sum(f.stat().st_size for f in processed.glob("*.npz"))
+
+    run_cli(["create", "-p", str(project), "--compression", "none",
+             "--overwrite"])
+    assert _chip_content_digest(processed) == zlib_digest
+    none_bytes = sum(f.stat().st_size for f in processed.glob("*.npz"))
+    assert none_bytes > zlib_bytes  # actually uncompressed

@@ -169,3 +169,36 @@ def test_create_predict_dataset_and_stitch(tmp_path):
     assert data["raster"].shape == (3, 75, 130)
     assert data["raster"].dtype == np.uint16
     np.testing.assert_array_equal(data["raster"], raster_tif)
+
+
+def test_create_predict_processes_match_threads(tmp_path):
+    """The fork process pool writes the same windows as the thread pool
+    (reference Ray+dask scheduler, create.py:216-246)."""
+    import hashlib
+
+    rng = np.random.default_rng(3)
+    scene = rng.random((4, 60, 90, 2)).astype("float32")
+
+    def run(mode, sub):
+        paths = create_predict_dataset(
+            image_time_series=scene,
+            region="rp",
+            process_path=tmp_path / sub / "processed",
+            window_size=40,
+            padding=5,
+            num_workers=3,
+            use_processes=mode,
+        )
+        h = hashlib.sha256()
+        for f in sorted(paths):
+            h.update(Path(f).name.encode())
+            with np.load(f, allow_pickle=False) as z:
+                for k in sorted(z.files):
+                    h.update(k.encode())
+                    h.update(np.ascontiguousarray(z[k]).tobytes())
+        return len(paths), h.hexdigest()
+
+    n_thread, d_thread = run(False, "threads")
+    n_proc, d_proc = run(True, "procs")
+    assert n_thread == n_proc == 6  # 2 rows x 3 cols at 40 px windows
+    assert d_thread == d_proc
