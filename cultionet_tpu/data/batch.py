@@ -183,6 +183,65 @@ class Batch:
         return out
 
     # ------------------------------------------------------------------
+    # xarray export (reference data/data.py:278-318 to_dataset)
+    # ------------------------------------------------------------------
+
+    def _dataset_payload(self, sample: int = 0) -> dict:
+        """The data_vars/coords/attrs dict behind ``to_dataset`` with the
+        reference's field names (bands/labels/distances over
+        channel/time/y/x) — split out so the export contract is testable
+        without xarray installed."""
+        b = self.dequantize()
+        x = np.asarray(b.x[sample])  # (T, H, W, C) float in [0, 1]
+        bands = np.transpose(x, (3, 0, 1, 2))  # reference channel-first
+        height, width = self.height, self.width
+        if b.left is not None:
+            left = float(np.asarray(b.left[sample]))
+            bottom = float(np.asarray(b.bottom[sample]))
+            right = float(np.asarray(b.right[sample]))
+            top = float(np.asarray(b.top[sample]))
+        else:
+            left, bottom, right, top = 0.0, 0.0, float(width), float(height)
+        res_y = (top - bottom) / height
+        res_x = (right - left) / width
+        data_vars = {"bands": (["channel", "time", "y", "x"], bands)}
+        if b.y is not None:
+            data_vars["labels"] = (["y", "x"], np.asarray(b.y[sample]))
+        if b.bdist is not None:
+            data_vars["distances"] = (
+                ["y", "x"],
+                np.asarray(b.bdist[sample]),
+            )
+        return dict(
+            data_vars=data_vars,
+            coords={
+                "channel": list(range(1, self.num_channels + 1)),
+                "time": list(range(1, self.num_time + 1)),
+                "y": np.linspace(top, bottom, height),
+                "x": np.linspace(left, right, width),
+            },
+            attrs={
+                "name": (
+                    self.batch_id[sample] if self.batch_id else "batch"
+                ),
+                "res": (abs(res_x), abs(res_y)),
+                "_FillValue": -1,
+            },
+        )
+
+    def to_dataset(self, sample: int = 0):
+        """Export one sample as an ``xarray.Dataset`` with the reference's
+        variable/coordinate names (data/data.py:278-318) for
+        napari/xarray consumers. Requires xarray (not bundled — gated)."""
+        try:
+            import xarray as xr
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "Batch.to_dataset requires xarray (pip install xarray)"
+            ) from exc
+        return xr.Dataset(**self._dataset_payload(sample))
+
+    # ------------------------------------------------------------------
     # Serialization: .npz native format + reference-compatible .pt reader
     # ------------------------------------------------------------------
 

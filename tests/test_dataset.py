@@ -213,3 +213,46 @@ def test_kll_sketch_accuracy_and_state():
     q2.load_state_dict(q.state_dict())
     np.testing.assert_allclose(q2.quantiles(0.5), q.quantiles(0.5))
     np.testing.assert_allclose(q2.mean(), q.mean())
+
+
+def test_to_dataset_payload_reference_fields():
+    """Batch.to_dataset export contract (reference data/data.py:278-318):
+    bands/labels/distances over channel/time/y/x, top->bottom y coords.
+    Payload is validated structurally; the xarray wrapper is import-gated
+    (xarray is not bundled in this image)."""
+    batch = create_batch(num_channels=3, num_time=5, height=8, width=10)
+    batch = batch.replace(
+        left=np.asarray([100.0]),
+        bottom=np.asarray([200.0]),
+        right=np.asarray([110.0]),
+        top=np.asarray([208.0]),
+        batch_id=("chip_0.npz",),
+    )
+    payload = batch._dataset_payload()
+    assert set(payload["data_vars"]) == {"bands", "labels", "distances"}
+    dims, bands = payload["data_vars"]["bands"]
+    assert dims == ["channel", "time", "y", "x"]
+    assert bands.shape == (3, 5, 8, 10)
+    np.testing.assert_allclose(
+        bands[2, 4], np.asarray(batch.x)[0, 4, :, :, 2]
+    )
+    dims_y, labels = payload["data_vars"]["labels"]
+    assert dims_y == ["y", "x"] and labels.shape == (8, 10)
+    coords = payload["coords"]
+    assert list(coords["channel"]) == [1, 2, 3]
+    assert list(coords["time"]) == [1, 2, 3, 4, 5]
+    assert coords["y"][0] == 208.0 and coords["y"][-1] == 200.0  # top->bottom
+    assert coords["x"][0] == 100.0 and coords["x"][-1] == 110.0
+    assert payload["attrs"]["name"] == "chip_0.npz"
+    assert payload["attrs"]["_FillValue"] == -1
+
+    try:
+        import xarray  # noqa: F401
+    except ImportError:
+        import pytest
+
+        with pytest.raises(ImportError, match="xarray"):
+            batch.to_dataset()
+    else:
+        ds = batch.to_dataset()
+        assert set(ds.data_vars) == {"bands", "labels", "distances"}
