@@ -170,6 +170,105 @@ class ScenePredictor:
         chip_size = dataset.load_file(dataset.files[0]).x.shape[2]
         padding = (chip_size - window_size) // 2
 
+        loader = ChipLoader(dataset, batch_size=self.batch_size)
+        return self._blend_windows(
+            loader, scene_h, scene_w, window_size, padding
+        )
+
+    def predict_scene(
+        self,
+        image_time_series: np.ndarray,  # (T, H, W, C)
+        window_size: int = 100,
+        padding: int = 20,
+        gain: float = 1e-4,
+        offset: float = 0.0,
+        bounds: T.Optional[T.Tuple[float, float, float, float]] = None,
+    ) -> T.Tuple[np.ndarray, T.Tuple[int, int]]:
+        """In-memory large-scene inference: windows are sliced from the
+        scene on the fly, collapsing the reference's create-predict ->
+        per-window .pt -> DataLoader -> predict flow (create.py:114-246 +
+        callbacks.py:148-227) into one pass with no chip files. An int16
+        x 10000 scene rides to the device packed (half the host->HBM
+        bytes) and dequantizes inside the compiled step."""
+        from .data.create import (
+            _slice_window,
+            iter_window_jobs,
+            prepare_image_time_series,
+        )
+        from .data.batch import Batch
+
+        x = np.asarray(image_time_series)
+        packed = (
+            np.issubdtype(x.dtype, np.integer)
+            and gain == 1e-4
+            and offset == 0.0
+        )
+        if packed:
+            x = x.astype(np.int16, copy=False)
+        else:
+            x = prepare_image_time_series(
+                x, gain=gain, offset=offset, fill_zeros=False
+            )
+            # ChipDataset._scale parity: the file path clips loaded chips
+            # to [1e-9, 1] before the forward pass (datasets.py _scale)
+            x = np.clip(x, 1e-9, 1.0)
+        _, scene_h, scene_w, _ = x.shape
+        size = window_size + 2 * padding
+        jobs = list(iter_window_jobs(scene_h, scene_w, window_size, padding))
+        # The file path stamps the scene bounds on every window and derives
+        # lat/lon centroids from them (BatchStore.write_window +
+        # Batch.with_centroids); GeoEmbeddings consume those, so match it.
+        left, bottom, right, top = (
+            bounds if bounds is not None else (0.0, 0.0, 1.0, 1.0)
+        )
+
+        def batches():
+            for i in range(0, len(jobs), self.batch_size):
+                chunk = jobs[i : i + self.batch_size]
+                windows = []
+                for job in chunk:
+                    w = _slice_window(x, job)
+                    pad_b = size - w.shape[1]
+                    pad_r = size - w.shape[2]
+                    if pad_b > 0 or pad_r > 0:
+                        w = np.pad(
+                            w, ((0, 0), (0, pad_b), (0, pad_r), (0, 0))
+                        )
+                    windows.append(w)
+                n = len(chunk)
+                yield Batch(
+                    x=np.stack(windows),
+                    left=np.full(n, left, dtype="float32"),
+                    bottom=np.full(n, bottom, dtype="float32"),
+                    right=np.full(n, right, dtype="float32"),
+                    top=np.full(n, top, dtype="float32"),
+                    window_row_off=np.asarray(
+                        [j["row_off"] for j in chunk], dtype="int32"
+                    ),
+                    window_col_off=np.asarray(
+                        [j["col_off"] for j in chunk], dtype="int32"
+                    ),
+                    window_height=np.asarray(
+                        [j["window_height"] for j in chunk], dtype="int32"
+                    ),
+                    window_width=np.asarray(
+                        [j["window_width"] for j in chunk], dtype="int32"
+                    ),
+                ).with_centroids()
+
+        self._scene_bounds = bounds
+        return self._blend_windows(
+            batches(), scene_h, scene_w, window_size, padding
+        )
+
+    def _blend_windows(
+        self,
+        batches: T.Iterable,
+        scene_h: int,
+        scene_w: int,
+        window_size: int,
+        padding: int,
+    ) -> T.Tuple[np.ndarray, T.Tuple[int, int]]:
         pad = padding
         size = window_size + 2 * pad
         weights = taper_weights(window_size, pad)
@@ -181,8 +280,7 @@ class ScenePredictor:
         scene_sum = jnp.zeros((buf_h, buf_w, 3))
         scene_weight = jnp.full((buf_h, buf_w, 1), 1e-8)
 
-        loader = ChipLoader(dataset, batch_size=self.batch_size)
-        for batch in loader:
+        for batch in batches:
             real_count = batch.num_samples
             if self._shard is not None:
                 remainder = batch.num_samples % self.devices

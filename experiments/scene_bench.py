@@ -1,0 +1,186 @@
+"""Large-scene predict end-to-end benchmark (VERDICT r3 #3; BASELINE
+config #5 "whole Sentinel-2 tile with on-device blending").
+
+Synthesizes a (T, H, W, C) int16 x 10000 scene and times both predict
+flows on the real device:
+
+1. file path (the reference's two-stage flow, create.py:114-246 +
+   callbacks.py:148-227): create-predict window chips -> ChipDataset ->
+   ScenePredictor.predict_windows -> uint16 GeoTIFF write;
+2. in-memory path: ScenePredictor.predict_scene on the packed scene
+   (windows sliced host-side per batch, int16 to the device, in-step
+   dequantize) -- no chip files.
+
+Reports wall per stage, windows/s, 100x100-equivalent chips/s, and peak
+device HBM. Usage:
+    python scene_bench.py --height 2048 --width 2048 --out scene_bench.json
+"""
+
+import argparse
+import json
+import shutil
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=2048)
+    p.add_argument("--width", type=int, default=2048)
+    p.add_argument("--time-steps", type=int, default=12)
+    p.add_argument("--channels", type=int, default=3)
+    p.add_argument("--window-size", type=int, default=100)
+    p.add_argument("--padding", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--hidden", type=int, default=32)
+    p.add_argument("--skip-files", action="store_true")
+    p.add_argument("--out", type=str, default="")
+    p.add_argument("--workdir", type=str, default="/tmp/scene_bench")
+    args = p.parse_args()
+
+    import jax
+
+    from cultionet_tpu.data.create import create_predict_dataset
+    from cultionet_tpu.data.datasets import ChipDataset
+    from cultionet_tpu.enums import AttentionTypes
+    from cultionet_tpu.models import CultioNet
+    from cultionet_tpu.predict import ScenePredictor
+    from cultionet_tpu.train.optim import build_optimizer
+    from cultionet_tpu.data.synthetic import create_batch
+    from cultionet_tpu.train.step import create_train_state
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    scene = rng.integers(
+        1,
+        10_000,
+        size=(args.time_steps, args.height, args.width, args.channels),
+        dtype=np.int16,
+    )
+    scene_mb = scene.nbytes / 2**20
+    n_rows = -(-args.height // args.window_size)
+    n_cols = -(-args.width // args.window_size)
+    n_windows = n_rows * n_cols
+    # Throughput in canonical-chip units: windows carry
+    # (window+2*pad)^2 pixels each but cover window^2 novel pixels;
+    # chips/s counts novel 100x100-pixel tiles per second.
+    novel_px = args.height * args.width
+    chip_px = 100 * 100
+
+    model = CultioNet(
+        in_time=args.time_steps,
+        hidden_channels=args.hidden,
+        dropout=0.1,
+        attention_weights=AttentionTypes.NATTEN,
+        dilations=[1, 2],
+    )
+    proto = create_batch(
+        num_channels=args.channels,
+        num_time=args.time_steps,
+        height=args.window_size + 2 * args.padding,
+        width=args.window_size + 2 * args.padding,
+    )
+    state = create_train_state(
+        model, build_optimizer("AdamW", 1e-3), proto, seed=0
+    )
+    predictor = ScenePredictor(state, batch_size=args.batch_size)
+
+    results = dict(
+        platform=dev.platform,
+        scene=dict(
+            T=args.time_steps,
+            H=args.height,
+            W=args.width,
+            C=args.channels,
+            mb_int16=round(scene_mb, 1),
+        ),
+        window_size=args.window_size,
+        padding=args.padding,
+        batch_size=args.batch_size,
+        hidden=args.hidden,
+        n_windows=n_windows,
+    )
+
+    def peak_hbm_gb():
+        try:
+            return round(
+                dev.memory_stats()["peak_bytes_in_use"] / 2**30, 3
+            )
+        except Exception:
+            return None
+
+    # ---- in-memory path (run first: also serves as the compile warmup
+    # for the shared predict step) ----
+    t0 = time.perf_counter()
+    raster_mem, (sh, sw) = predictor.predict_scene(
+        scene, window_size=args.window_size, padding=args.padding
+    )
+    mem_wall_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    raster_mem, (sh, sw) = predictor.predict_scene(
+        scene, window_size=args.window_size, padding=args.padding
+    )
+    mem_wall = time.perf_counter() - t0
+    assert (sh, sw) == (args.height, args.width)
+    assert np.isfinite(raster_mem).all()
+    results["mem_path"] = dict(
+        wall_cold_s=round(mem_wall_cold, 2),
+        wall_s=round(mem_wall, 2),
+        windows_per_s=round(n_windows / mem_wall, 1),
+        chips_per_s=round(novel_px / chip_px / mem_wall, 1),
+        peak_hbm_gb=peak_hbm_gb(),
+    )
+    print("mem_path:", json.dumps(results["mem_path"]))
+
+    # ---- file path (reference two-stage flow) ----
+    if not args.skip_files:
+        workdir = Path(args.workdir)
+        if workdir.exists():
+            shutil.rmtree(workdir)
+        proc = workdir / "predict" / "processed"
+        t0 = time.perf_counter()
+        paths = create_predict_dataset(
+            image_time_series=scene,
+            region="bench",
+            process_path=proc,
+            window_size=args.window_size,
+            padding=args.padding,
+            num_workers=4,
+        )
+        create_wall = time.perf_counter() - t0
+        assert len(paths) == n_windows
+        ds = ChipDataset(workdir / "predict")
+        t0 = time.perf_counter()
+        out_tif = workdir / "scene.tif"
+        predictor.predict_to_raster(ds, out_tif)
+        predict_wall = time.perf_counter() - t0
+        raster_file = None
+        results["file_path"] = dict(
+            create_wall_s=round(create_wall, 2),
+            predict_and_write_wall_s=round(predict_wall, 2),
+            total_wall_s=round(create_wall + predict_wall, 2),
+            windows_per_s=round(n_windows / predict_wall, 1),
+            chips_per_s=round(
+                novel_px / chip_px / (create_wall + predict_wall), 1
+            ),
+            chip_bytes_mb=round(
+                sum(f.stat().st_size for f in proc.glob("*.npz")) / 2**20,
+                1,
+            ),
+            tif_mb=round(out_tif.stat().st_size / 2**20, 1),
+            peak_hbm_gb=peak_hbm_gb(),
+        )
+        print("file_path:", json.dumps(results["file_path"]))
+        shutil.rmtree(workdir)
+
+    print(json.dumps(results))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+            f.write("\n")
+
+
+if __name__ == "__main__":
+    main()

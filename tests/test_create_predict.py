@@ -202,3 +202,55 @@ def test_create_predict_processes_match_threads(tmp_path):
     n_proc, d_proc = run(True, "procs")
     assert n_thread == n_proc == 6  # 2 rows x 3 cols at 40 px windows
     assert d_thread == d_proc
+
+
+def test_predict_scene_in_memory_matches_file_path(tmp_path):
+    """ScenePredictor.predict_scene (no chip files) stitches the same
+    raster as create_predict_dataset -> predict_windows (the reference's
+    two-stage flow, create.py:114-246 + callbacks.py:148-227)."""
+    from cultionet_tpu.models import CultioNet
+    from cultionet_tpu.predict import ScenePredictor
+    from cultionet_tpu.train.optim import build_optimizer
+    from cultionet_tpu.train.step import create_train_state
+
+    rng = np.random.default_rng(7)
+    scene = rng.random((5, 70, 110, 2)).astype("float32")
+
+    paths = create_predict_dataset(
+        image_time_series=scene,
+        region="mem",
+        process_path=tmp_path / "predict" / "processed",
+        window_size=50,
+        padding=10,
+        num_workers=1,
+    )
+    assert len(paths) == 6
+    ds = ChipDataset(tmp_path / "predict")
+    model = CultioNet(
+        in_time=5, hidden_channels=4, attention_weights=None, dilations=[1]
+    )
+    state = create_train_state(
+        model, build_optimizer("AdamW", 1e-3), ds[0], seed=0
+    )
+    predictor = ScenePredictor(state, batch_size=4)
+    file_raster, (h, w) = predictor.predict_windows(ds)
+
+    mem_raster, (mh, mw) = predictor.predict_scene(
+        scene, window_size=50, padding=10
+    )
+    assert (mh, mw) == (h, w) == (70, 110)
+    # The two paths trace different programs (float-x vs the clip/scale
+    # fused file pipeline), so XLA reassociation leaves ~1e-5 noise that
+    # a random-init net amplifies; exact trained-model parity is the
+    # golden-raster gate's job (tests/test_golden_raster.py).
+    np.testing.assert_allclose(mem_raster, file_raster, atol=1e-4)
+
+    # int16 x 10000 scenes ride packed and dequantize in-step
+    packed_scene = np.round(scene * 10000.0).astype("int16")
+    packed_raster, _ = predictor.predict_scene(
+        packed_scene, window_size=50, padding=10
+    )
+    # int16 packing quantizes inputs at 1e-4 resolution (5e-5 half-quantum
+    # deltas), which the random-init network amplifies ~30x; anything
+    # structurally wrong (scale, offsets, stitching) would be O(0.1).
+    np.testing.assert_allclose(packed_raster, file_raster, atol=5e-3)
