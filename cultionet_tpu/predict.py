@@ -56,8 +56,7 @@ def taper_weights(
     return jnp.maximum(weights, 1e-4)
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _accumulate_windows(
+def _accumulate_windows_impl(
     scene_sum: Array,  # (H, W, 3)
     scene_weight: Array,  # (H, W, 1)
     window_preds: Array,  # (B, S, S, 3)
@@ -66,8 +65,10 @@ def _accumulate_windows(
     col0s: Array,  # (B,) int32
     valid: Array,  # (B,) float32 — 0 masks padded duplicate windows
 ):
-    """Blend a whole batch of windows in ONE dispatch (sequential
-    fori_loop: overlapping windows within a batch accumulate correctly)."""
+    """Blend a whole batch of windows (sequential fori_loop: overlapping
+    windows within a batch accumulate correctly). Plain function so the
+    fused whole-scene program can inline it; the per-batch dispatch path
+    uses the donating jitted wrapper below."""
     size = weights.shape[0]
     bands = scene_sum.shape[-1]
 
@@ -87,6 +88,11 @@ def _accumulate_windows(
     return jax.lax.fori_loop(
         0, window_preds.shape[0], body, (scene_sum, scene_weight)
     )
+
+
+_accumulate_windows = partial(jax.jit, donate_argnums=(0, 1))(
+    _accumulate_windows_impl
+)
 
 
 class ScenePredictor:
@@ -137,6 +143,10 @@ class ScenePredictor:
             self._shard = None
             self.predict_step = make_predict_step(precision=precision)
         self.batch_size = batch_size
+        from .train.precision import resolve_dtype
+
+        self._compute_dtype = resolve_dtype(precision)
+        self._fused_cache: T.Dict[tuple, T.Callable] = {}
 
     def predict_windows(
         self, dataset: ChipDataset
@@ -183,13 +193,23 @@ class ScenePredictor:
         gain: float = 1e-4,
         offset: float = 0.0,
         bounds: T.Optional[T.Tuple[float, float, float, float]] = None,
+        fused: T.Optional[bool] = None,
     ) -> T.Tuple[np.ndarray, T.Tuple[int, int]]:
         """In-memory large-scene inference: windows are sliced from the
         scene on the fly, collapsing the reference's create-predict ->
         per-window .pt -> DataLoader -> predict flow (create.py:114-246 +
         callbacks.py:148-227) into one pass with no chip files. An int16
         x 10000 scene rides to the device packed (half the host->HBM
-        bytes) and dequantizes inside the compiled step."""
+        bytes) and dequantizes inside the compiled step.
+
+        ``fused`` (default on single-device): the whole scene is uploaded
+        to HBM ONCE and the entire windowed predict — window gather
+        (vmapped dynamic_slice), dequantize, forward, taper-blend
+        accumulation, weight normalization — runs as ONE compiled
+        ``lax.scan`` over window batches. Host traffic per scene is one
+        scene upload + one raster readback; no per-window host slicing,
+        no per-batch dispatches. Multi-device predictions take the
+        per-batch sharded path (``fused=False``)."""
         from .data.create import (
             _slice_window,
             iter_window_jobs,
@@ -221,6 +241,24 @@ class ScenePredictor:
         left, bottom, right, top = (
             bounds if bounds is not None else (0.0, 0.0, 1.0, 1.0)
         )
+
+        if fused is None:
+            fused = self._shard is None
+        if fused:
+            assert self._shard is None, (
+                "fused scene predict is single-device; pass fused=False "
+                "for the sharded per-batch path"
+            )
+            self._scene_bounds = bounds
+            return self._predict_scene_fused(
+                x,
+                scene_h,
+                scene_w,
+                window_size,
+                padding,
+                jobs,
+                (left, bottom, right, top),
+            )
 
         def batches():
             for i in range(0, len(jobs), self.batch_size):
@@ -260,6 +298,125 @@ class ScenePredictor:
         return self._blend_windows(
             batches(), scene_h, scene_w, window_size, padding
         )
+
+    def _predict_scene_fused(
+        self,
+        x: np.ndarray,  # (T, H, W, C) int16-packed or prepared float32
+        scene_h: int,
+        scene_w: int,
+        window_size: int,
+        padding: int,
+        jobs: T.List[dict],
+        bounds: T.Tuple[float, float, float, float],
+    ) -> T.Tuple[np.ndarray, T.Tuple[int, int]]:
+        """Whole-scene predict as one compiled program (see predict_scene).
+
+        The TPU-native inversion of the reference's chip-file pipeline
+        (create.py:114-246 + callbacks.py:148-227): instead of streaming
+        window chips host->device, the scene lives in HBM and windows are
+        gathered in-step, so the per-window host slicing, the ~2x overlap
+        retransmission, and every intermediate dispatch disappear.
+        """
+        batch = self.batch_size
+        n_batches = -(-len(jobs) // batch)
+        total = n_batches * batch
+        row0 = np.zeros(total, np.int32)
+        col0 = np.zeros(total, np.int32)
+        valid = np.zeros(total, np.float32)
+        for i, job in enumerate(jobs):
+            row0[i] = job["row_off"]
+            col0[i] = job["col_off"]
+            valid[i] = 1.0
+        left, bottom, right, top = bounds
+        # Scene-wide centroid for every window (Batch.with_centroids on the
+        # scene bounds — the non-fused in-memory path stamps the same).
+        lat = np.float32((bottom + top) / 2.0)
+        lon = np.float32((left + right) / 2.0)
+
+        key = (x.shape, np.dtype(x.dtype).str, window_size, padding, batch)
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            fn = self._build_fused_scene_fn(
+                scene_h, scene_w, window_size, padding, batch
+            )
+            self._fused_cache[key] = fn
+        raster = fn(
+            self.state,
+            x,
+            row0.reshape(n_batches, batch),
+            col0.reshape(n_batches, batch),
+            valid.reshape(n_batches, batch),
+            jnp.asarray(lat),
+            jnp.asarray(lon),
+        )
+        return np.asarray(raster), (scene_h, scene_w)
+
+    def _build_fused_scene_fn(
+        self,
+        scene_h: int,
+        scene_w: int,
+        window_size: int,
+        padding: int,
+        batch_size: int,
+    ) -> T.Callable:
+        from .data.batch import Batch
+        from .train.step import _inference_apply
+
+        pad = padding
+        size = window_size + 2 * pad
+        compute_dtype = self._compute_dtype
+        # Padded-scene coords: scene pixel (r, c) -> (r + pad, c + pad);
+        # the window at scene offset row_off starts its padded read at
+        # row_off - pad, i.e. padded coord row_off. Extent covers the
+        # largest edge-window read plus its bottom/right zero fill.
+        buf_h = scene_h + 2 * pad + size
+        buf_w = scene_w + 2 * pad + size
+
+        @jax.jit
+        def run(state, scene, row0s, col0s, valids, lat, lon):
+            scene_p = jnp.pad(
+                scene,
+                (
+                    (0, 0),
+                    (pad, buf_h - pad - scene_h),
+                    (pad, buf_w - pad - scene_w),
+                    (0, 0),
+                ),
+            )
+            weights = taper_weights(window_size, pad)
+            scene_sum = jnp.zeros((buf_h, buf_w, 3))
+            scene_weight = jnp.full((buf_h, buf_w, 1), 1e-8)
+            lat_b = jnp.full((batch_size,), lat, jnp.float32)
+            lon_b = jnp.full((batch_size,), lon, jnp.float32)
+            t_dim, c_dim = scene_p.shape[0], scene_p.shape[3]
+
+            def gather(r, c):
+                return jax.lax.dynamic_slice(
+                    scene_p, (0, r, c, 0), (t_dim, size, size, c_dim)
+                )
+
+            def body(carry, job):
+                ssum, sweight = carry
+                r0, c0, valid = job
+                xw = jax.vmap(gather)(r0, c0)  # (B, T, S, S, C)
+                outputs = _inference_apply(
+                    state, Batch(x=xw, lat=lat_b, lon=lon_b), compute_dtype
+                )
+                preds = jnp.concatenate(
+                    [outputs[name] for name in BAND_NAMES], axis=-1
+                )
+                ssum, sweight = _accumulate_windows_impl(
+                    ssum, sweight, preds, weights, r0, c0, valid
+                )
+                return (ssum, sweight), None
+
+            (scene_sum, scene_weight), _ = jax.lax.scan(
+                body, (scene_sum, scene_weight), (row0s, col0s, valids)
+            )
+            blended = scene_sum / scene_weight
+            return blended[pad : pad + scene_h, pad : pad + scene_w]
+
+        return run
 
     def _blend_windows(
         self,

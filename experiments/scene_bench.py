@@ -111,28 +111,78 @@ def main() -> None:
         except Exception:
             return None
 
-    # ---- in-memory path (run first: also serves as the compile warmup
-    # for the shared predict step) ----
+    # ---- in-memory paths (run first: also serve as compile warmup for
+    # the shared predict step). "fused" = whole scene resident in HBM,
+    # one lax.scan program; "mem_path" = per-batch host window slicing.
+    raster_fused = None
+    for label, kwargs in (("fused", dict(fused=True)), ("mem_path", dict(fused=False))):
+        t0 = time.perf_counter()
+        raster_mem, (sh, sw) = predictor.predict_scene(
+            scene,
+            window_size=args.window_size,
+            padding=args.padding,
+            **kwargs,
+        )
+        wall_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        raster_mem, (sh, sw) = predictor.predict_scene(
+            scene,
+            window_size=args.window_size,
+            padding=args.padding,
+            **kwargs,
+        )
+        wall = time.perf_counter() - t0
+        assert (sh, sw) == (args.height, args.width)
+        assert np.isfinite(raster_mem).all()
+        if label == "fused":
+            raster_fused = raster_mem
+        else:
+            # Informational only: the two paths run the last (ragged)
+            # window batch at different batch sizes, which changes the NA
+            # kernel's band plan; on a RANDOM-INIT net the SigmoidCrisp
+            # head amplifies that numeric shift to O(0.1) in that one
+            # window. Trained-model parity is the golden-raster gate's
+            # job (tests/test_golden_raster.py); batch-size-matched paths
+            # agree (tests/test_create_predict.py).
+            d = np.abs(raster_mem - raster_fused)
+            results["paths_diff"] = dict(
+                max=float(d.max()),
+                mean=float(d.mean()),
+                frac_gt_5e3=float((d > 5e-3).mean()),
+            )
+        results[label] = dict(
+            wall_cold_s=round(wall_cold, 2),
+            wall_s=round(wall, 2),
+            windows_per_s=round(n_windows / wall, 1),
+            chips_per_s=round(novel_px / chip_px / wall, 1),
+            peak_hbm_gb=peak_hbm_gb(),
+        )
+        print(f"{label}:", json.dumps(results[label]))
+
+    # ---- tunnel attribution: what of the fused wall is pure host<->HBM
+    # transfer (one scene upload + one raster readback)? Synced by host
+    # readback (jax.block_until_ready is unreliable over the axon tunnel).
+    import jax.numpy as jnp
+
     t0 = time.perf_counter()
-    raster_mem, (sh, sw) = predictor.predict_scene(
-        scene, window_size=args.window_size, padding=args.padding
-    )
-    mem_wall_cold = time.perf_counter() - t0
+    scene_dev = jax.device_put(scene)
+    _ = float(jnp.sum(scene_dev[0, 0, 0]))
+    upload_s = time.perf_counter() - t0
+    raster_dev = jnp.zeros((args.height, args.width, 3), jnp.float32)
+    _ = float(raster_dev[0, 0, 0])
     t0 = time.perf_counter()
-    raster_mem, (sh, sw) = predictor.predict_scene(
-        scene, window_size=args.window_size, padding=args.padding
+    _ = np.asarray(raster_dev)
+    readback_s = time.perf_counter() - t0
+    results["transfer"] = dict(
+        scene_upload_s=round(upload_s, 2),
+        raster_readback_s=round(readback_s, 2),
+        upload_mb_s=round(scene_mb / upload_s, 1),
+        readback_mb_s=round(
+            args.height * args.width * 3 * 4 / 2**20 / readback_s, 1
+        ),
     )
-    mem_wall = time.perf_counter() - t0
-    assert (sh, sw) == (args.height, args.width)
-    assert np.isfinite(raster_mem).all()
-    results["mem_path"] = dict(
-        wall_cold_s=round(mem_wall_cold, 2),
-        wall_s=round(mem_wall, 2),
-        windows_per_s=round(n_windows / mem_wall, 1),
-        chips_per_s=round(novel_px / chip_px / mem_wall, 1),
-        peak_hbm_gb=peak_hbm_gb(),
-    )
-    print("mem_path:", json.dumps(results["mem_path"]))
+    print("transfer:", json.dumps(results["transfer"]))
+    del scene_dev, raster_dev
 
     # ---- file path (reference two-stage flow) ----
     if not args.skip_files:

@@ -245,6 +245,14 @@ def test_predict_scene_in_memory_matches_file_path(tmp_path):
     # golden-raster gate's job (tests/test_golden_raster.py).
     np.testing.assert_allclose(mem_raster, file_raster, atol=1e-4)
 
+    # The per-batch host-slicing path (what multi-device predictions use)
+    # must agree with the fused whole-scene scan — same windows, same
+    # taper blend, different program structure.
+    nonfused_raster, _ = predictor.predict_scene(
+        scene, window_size=50, padding=10, fused=False
+    )
+    np.testing.assert_allclose(nonfused_raster, mem_raster, atol=1e-4)
+
     # int16 x 10000 scenes ride packed and dequantize in-step
     packed_scene = np.round(scene * 10000.0).astype("int16")
     packed_raster, _ = predictor.predict_scene(

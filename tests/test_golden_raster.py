@@ -32,3 +32,28 @@ def test_prediction_matches_golden_raster():
     match = float(np.mean(raster == golden))
     # exact-pixel match fraction, the reference's gate threshold
     assert match >= 0.999, f"pixel match {match:.5f} < 0.999"
+
+
+def test_fused_scene_predict_matches_golden_raster():
+    """The fused whole-scene program (one lax.scan, scene resident in
+    HBM) must reproduce the same golden raster as the chip-file path —
+    the trained-model parity gate for ScenePredictor.predict_scene."""
+    from cultionet_tpu.data.constant import SCALE_FACTOR
+    from cultionet_tpu.data.tiny_tiff import read_tiff
+    from cultionet_tpu.model import load_model
+    from cultionet_tpu.predict import ScenePredictor
+
+    golden, *_ = read_tiff(GOLDEN / "golden.tif")
+    with np.load(GOLDEN / "scene.npz", allow_pickle=False) as data:
+        x = data["x"].astype(np.float32) / SCALE_FACTOR
+    state, _ = load_model(GOLDEN / "ckpt" / "last_store", which="last")
+    predictor = ScenePredictor(state, batch_size=4)
+    raster, _ = predictor.predict_scene(
+        x, window_size=50, padding=10, fused=True
+    )
+    packed = np.moveaxis(
+        np.clip(raster * SCALE_FACTOR, 0, 65535).astype("uint16"), -1, 0
+    )
+    assert packed.shape == golden.shape
+    match = float(np.mean(packed == golden))
+    assert match >= 0.999, f"pixel match {match:.5f} < 0.999"
