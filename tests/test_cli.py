@@ -135,6 +135,32 @@ def test_cli_full_pipeline(tmp_path):
     assert info == {"max_crop_class": 1, "edge_class": 2}
 
 
+def test_cli_profiler_trace(tmp_path):
+    """--profiler wraps fit in jax.profiler.trace and writes an xplane
+    capture (reference: Lightning profiler pass-through, model.py:97)."""
+    project = make_project(tmp_path, num_regions=3)
+    run_cli(["create", "-p", str(project)])
+    trace_dir = tmp_path / "trace"
+    run_cli(
+        [
+            "train",
+            "-p", str(project),
+            "--epochs", "1",
+            "--hidden-channels", "4",
+            "--dilations", "1",
+            "--attention-weights", "none",
+            "--batch-size", "1",
+            "--precision", "32",
+            "--dropout", "0.0",
+            "--val-frac", "0.34",
+            "--augment-prob", "0.0",
+            "--profiler", str(trace_dir),
+        ]
+    )
+    captures = list(trace_dir.rglob("*.xplane.pb"))
+    assert captures, f"no xplane capture under {trace_dir}"
+
+
 def test_cli_version(capsys):
     run_cli(["version"])
     captured = capsys.readouterr()

@@ -140,6 +140,41 @@ def test_make_plan_band_balance_invariants(dilation, target):
             assert (plan.num_bands - 1) * plan.rows_per_band < height, ctx
 
 
+def test_make_plan_lane_fold_selection():
+    """Lane-fold policy at the model's NA channel widths: fold packs batch
+    elements into lanes while fold*2*C <= 128, so C=16/32 (hidden=32
+    stage a at h32/h64... ) reach full 128-lane fill, C=64 (hidden=64
+    stage a) selects fold=2 = exactly 128 raw lanes, and C>=128 needs no
+    fold (measured A/B: experiments/na_fold_h64.json)."""
+    from cultionet_tpu.ops.natten_pallas import _make_plan
+
+    for channels, batch, want_fold in [
+        (16, 32, 8),   # doubles while fold*2*C <= 128: 8*16 = 128 lanes
+        (32, 32, 4),
+        (64, 32, 2),   # 2*2*64=256 > 128 stops at fold=2 -> 128 lanes
+        (64, 2, 2),
+        (64, 3, 1),    # batch not divisible by 2
+        (128, 32, 1),
+        (256, 32, 1),
+    ]:
+        plan = _make_plan(
+            batch=batch,
+            height=50,
+            width=50,
+            num_heads=4,
+            head_dim=channels // 4,
+            kernel_size=3,
+            dilation=1,
+        )
+        ctx = f"C={channels} B={batch}: {plan}"
+        assert plan.fold == want_fold, ctx
+        assert plan.raw_lanes == want_fold * channels, ctx
+        assert plan.raw_lanes <= 128 or channels > 128, ctx
+        assert plan.batch_groups * plan.fold == batch, ctx
+        # Never pad lanes beyond one 128 tile unless channels demand it.
+        assert plan.lanes == -(-plan.raw_lanes // 128) * 128, ctx
+
+
 def test_na2d_pallas_multiband_balanced_fwd():
     """Forward parity through a balanced multi-band plan (interpret mode)."""
     from cultionet_tpu.ops.natten_pallas import _make_plan
