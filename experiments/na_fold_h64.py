@@ -11,10 +11,13 @@ Usage: python experiments/na_fold_h64.py
 """
 
 import json
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
