@@ -130,16 +130,21 @@ class ScenePredictor:
                 shard_batch,
             )
 
-            assert batch_size % devices == 0, (
-                f"batch_size {batch_size} must divide over {devices} devices"
-            )
+            if batch_size % devices:
+                # Both sharded paths split the batch axis over the mesh;
+                # round up so every device gets an equal slice (the extra
+                # slots ride as repeated/invalid windows and renormalize
+                # out of the blend).
+                batch_size += devices - batch_size % devices
             mesh = create_mesh(num_devices=devices)
             self.state = replicate_state(state, mesh)
+            self._mesh = mesh
             self._shard = lambda b: shard_batch(b, mesh)
             self.predict_step = make_sharded_predict_step(
                 mesh, precision=precision
             )
         else:
+            self._mesh = None
             self._shard = None
             self.predict_step = make_predict_step(precision=precision)
         self.batch_size = batch_size
@@ -202,14 +207,19 @@ class ScenePredictor:
         x 10000 scene rides to the device packed (half the host->HBM
         bytes) and dequantizes inside the compiled step.
 
-        ``fused`` (default on single-device): the whole scene is uploaded
-        to HBM ONCE and the entire windowed predict — window gather
-        (vmapped dynamic_slice), dequantize, forward, taper-blend
-        accumulation, weight normalization — runs as ONE compiled
-        ``lax.scan`` over window batches. Host traffic per scene is one
-        scene upload + one raster readback; no per-window host slicing,
-        no per-batch dispatches. Multi-device predictions take the
-        per-batch sharded path (``fused=False``)."""
+        ``fused`` (default): the whole scene is uploaded to HBM ONCE and
+        the entire windowed predict — window gather (vmapped
+        dynamic_slice), dequantize, forward, taper-blend accumulation,
+        weight normalization — runs as ONE compiled ``lax.scan`` over
+        window batches. Host traffic per scene is one scene upload + one
+        raster readback; no per-window host slicing, no per-batch
+        dispatches. On a multi-device mesh (``devices > 1``) the scene is
+        replicated and each device runs its 1/n slice of every window
+        batch under ``shard_map``, blending into a device-local buffer;
+        a single ``psum`` over the data axis (one ICI collective per
+        scene) merges the partial blends. ``fused=False`` falls back to
+        per-batch host window slicing (sharded over the mesh when
+        ``devices > 1``)."""
         from .data.create import (
             _slice_window,
             iter_window_jobs,
@@ -243,12 +253,8 @@ class ScenePredictor:
         )
 
         if fused is None:
-            fused = self._shard is None
+            fused = True
         if fused:
-            assert self._shard is None, (
-                "fused scene predict is single-device; pass fused=False "
-                "for the sharded per-batch path"
-            )
             self._scene_bounds = bounds
             return self._predict_scene_fused(
                 x,
@@ -333,7 +339,14 @@ class ScenePredictor:
         lat = np.float32((bottom + top) / 2.0)
         lon = np.float32((left + right) / 2.0)
 
-        key = (x.shape, np.dtype(x.dtype).str, window_size, padding, batch)
+        key = (
+            x.shape,
+            np.dtype(x.dtype).str,
+            window_size,
+            padding,
+            batch,
+            self.devices,
+        )
         fn = self._fused_cache.get(key)
         if fn is None:
             fn = self._build_fused_scene_fn(
@@ -371,8 +384,11 @@ class ScenePredictor:
         # largest edge-window read plus its bottom/right zero fill.
         buf_h = scene_h + 2 * pad + size
         buf_w = scene_w + 2 * pad + size
+        mesh = self._mesh
+        # Single program: the whole window batch. Under shard_map: each
+        # device's 1/n slice of every batch.
+        local_b = batch_size if mesh is None else batch_size // self.devices
 
-        @jax.jit
         def run(state, scene, row0s, col0s, valids, lat, lon):
             scene_p = jnp.pad(
                 scene,
@@ -385,9 +401,19 @@ class ScenePredictor:
             )
             weights = taper_weights(window_size, pad)
             scene_sum = jnp.zeros((buf_h, buf_w, 3))
-            scene_weight = jnp.full((buf_h, buf_w, 1), 1e-8)
-            lat_b = jnp.full((batch_size,), lat, jnp.float32)
-            lon_b = jnp.full((batch_size,), lon, jnp.float32)
+            scene_weight = jnp.zeros((buf_h, buf_w, 1))
+            if mesh is not None:
+                # Under shard_map the blend buffers become device-varying
+                # (each device accumulates its own window slice); mark the
+                # initial zeros varying so the scan carry types line up.
+                scene_sum = jax.lax.pcast(
+                    scene_sum, mesh.axis_names[0], to="varying"
+                )
+                scene_weight = jax.lax.pcast(
+                    scene_weight, mesh.axis_names[0], to="varying"
+                )
+            lat_b = jnp.full((local_b,), lat, jnp.float32)
+            lon_b = jnp.full((local_b,), lon, jnp.float32)
             t_dim, c_dim = scene_p.shape[0], scene_p.shape[3]
 
             def gather(r, c):
@@ -413,10 +439,39 @@ class ScenePredictor:
             (scene_sum, scene_weight), _ = jax.lax.scan(
                 body, (scene_sum, scene_weight), (row0s, col0s, valids)
             )
-            blended = scene_sum / scene_weight
+            if mesh is not None:
+                # One collective per scene: merge the device-local partial
+                # blends over ICI (scene and state are replicated; only the
+                # window slices differ per device).
+                scene_sum = jax.lax.psum(scene_sum, mesh.axis_names[0])
+                scene_weight = jax.lax.psum(
+                    scene_weight, mesh.axis_names[0]
+                )
+            blended = scene_sum / (scene_weight + 1e-8)
             return blended[pad : pad + scene_h, pad : pad + scene_w]
 
-        return run
+        if mesh is None:
+            return jax.jit(run)
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        sharded_run = shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(
+                P(),  # state (replicated pytree)
+                P(),  # scene (replicated in HBM on every device)
+                P(None, axis),  # row0s: batch dim split over devices
+                P(None, axis),  # col0s
+                P(None, axis),  # valids
+                P(),  # lat
+                P(),  # lon
+            ),
+            out_specs=P(),
+        )
+        return jax.jit(sharded_run)
 
     def _blend_windows(
         self,

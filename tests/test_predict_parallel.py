@@ -55,6 +55,37 @@ def test_parallel_predict_matches_single(scene_setup):
     np.testing.assert_allclose(raster1, raster8, rtol=1e-4, atol=1e-5)
 
 
+def test_fused_scene_predict_sharded_matches_single(scene_setup):
+    """The fused whole-scene scan under an 8-device mesh (scene replicated,
+    each device runs its 1/n slice of every window batch, one psum merges
+    the partial blends) reproduces the single-device fused raster."""
+    ds, state = scene_setup
+    rng = np.random.default_rng(5)
+    scene = np.round(rng.random((6, 70, 110, 2)) * 10000.0).astype("int16")
+
+    single = ScenePredictor(state, batch_size=8, devices=1)
+    raster1, dims1 = single.predict_scene(scene, window_size=40, padding=8)
+
+    parallel = ScenePredictor(state, batch_size=8, devices=8)
+    raster8, dims8 = parallel.predict_scene(scene, window_size=40, padding=8)
+
+    assert dims1 == dims8 == (70, 110)
+    np.testing.assert_allclose(raster1, raster8, rtol=1e-4, atol=1e-5)
+
+    # And against the per-batch sharded (non-fused) path — same windows,
+    # same taper blend, different program structure.
+    raster_nf, _ = parallel.predict_scene(
+        scene, window_size=40, padding=8, fused=False
+    )
+    np.testing.assert_allclose(raster_nf, raster8, rtol=1e-4, atol=1e-4)
+
+    # Indivisible batch_size is rounded up to a device multiple (the extra
+    # slots ride as valid=0 windows), not an error.
+    odd = ScenePredictor(state, batch_size=6, devices=8)
+    raster_odd, _ = odd.predict_scene(scene, window_size=40, padding=8)
+    np.testing.assert_allclose(raster_odd, raster8, rtol=1e-4, atol=1e-5)
+
+
 def test_single_window_scene_blend_is_identity(tmp_path):
     """With exactly one window, blending must reproduce the window interior."""
     rng = np.random.default_rng(3)
