@@ -24,6 +24,7 @@ the reference itself publishes no numbers (BASELINE.md).
 """
 
 import json
+import os
 import sys
 import tempfile
 import time
@@ -31,6 +32,22 @@ from pathlib import Path
 
 import jax
 import numpy as np
+
+# Persistent compilation cache: the tunneled compiler is the slow part of
+# this benchmark (each block's first compile is 30s-3min); caching makes
+# repeat runs compile-free. Verified to serialize executables on the axon
+# TPU plugin. Harmless if the backend declines entries.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            str(Path(__file__).resolve().parent / ".jax_cache"),
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 # Peak bf16 FLOP/s per chip by TPU generation (public figures; substring
 # match against jax device_kind). Used only for the advisory MFU estimate.
@@ -56,6 +73,25 @@ def _peak_flops(device) -> float:
 
 
 def main() -> None:
+    # Soft wall budget for the EXTRA blocks (predict / hidden=64 / fused
+    # scene): the headline step rate, MFU, and e2e numbers always run, but
+    # if their compiles already consumed the budget the remaining extras
+    # are skipped (reported as 0.0) so the driver always gets its JSON
+    # line. Repeat runs are compile-free via the persistent cache above.
+    bench_t0 = time.perf_counter()
+    bench_budget_s = float(os.environ.get("BENCH_BUDGET_S", "2100"))
+
+    def _over_budget(block: str) -> bool:
+        elapsed = time.perf_counter() - bench_t0
+        if elapsed > bench_budget_s:
+            print(
+                f"bench: skipping {block}: {elapsed:.0f}s elapsed > "
+                f"BENCH_BUDGET_S={bench_budget_s:.0f}",
+                file=sys.stderr,
+            )
+            return True
+        return False
+
     from cultionet_tpu.data.chipstore import ChipStore, write_chipstore
     from cultionet_tpu.data.synthetic import create_batch
     from cultionet_tpu.enums import AttentionTypes, LossTypes
@@ -298,6 +334,8 @@ def main() -> None:
     # is exactly what ScenePredictor feeds per window batch.
     predict_chips_per_sec = 0.0
     try:
+        if _over_budget("predict-rate"):
+            raise TimeoutError("budget")
         from cultionet_tpu.train.step import make_predict_step
 
         from cultionet_tpu.utils.timing import best_of
@@ -320,6 +358,8 @@ def main() -> None:
     # VERDICT r3 weak #1) ----
     h64_chips_per_sec = h64_step_ms = h64_mfu = 0.0
     try:
+        if _over_budget("hidden=64"):
+            raise TimeoutError("budget")
         model64 = CultioNet(
             in_time=12,
             hidden_channels=64,
@@ -372,6 +412,8 @@ def main() -> None:
     # one compiled lax.scan; chips/s counts novel 100x100 tiles) ----
     scene_chips_per_sec = scene_wall_s = 0.0
     try:
+        if _over_budget("fused-scene"):
+            raise TimeoutError("budget")
         from cultionet_tpu.predict import ScenePredictor
 
         scene = np.random.default_rng(1).integers(
