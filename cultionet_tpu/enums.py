@@ -35,6 +35,7 @@ class CLISteps(StrEnum):
     PREDICT = "predict"
     PREDICT_TRANSFER = "predict-transfer"
     IMPORT_TORCH = "import-torch"
+    EXPORT = "export"
     VERSION = "version"
 
 

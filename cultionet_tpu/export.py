@@ -1,0 +1,229 @@
+"""Ahead-of-time model export for serving (StableHLO via ``jax.export``).
+
+The reference has no deployment path: serving a trained model means
+installing the full training stack (torch + Lightning + natten) on the
+serving host and rebuilding the LightningModule from a ``.ckpt``
+(reference model.py:331-404, callbacks.py:148-227). Here the complete
+predict program — int16 dequantize -> z-score normalization -> CultioNet
+forward -> sigmoid/softmax heads — is exported ONCE as a versioned,
+self-contained StableHLO artifact:
+
+* model parameters, batch stats, and normalization statistics are baked
+  into the program as constants — the serving host needs the artifact
+  file and ``jax``, nothing else (no model code, no checkpoint store,
+  no norm sidecar);
+* the input contract is the wire format (int16 x 10000 chips, half the
+  bytes of float32) plus the (B,) chip-centroid lat/lon vectors;
+* the program is compiled for an explicit target platform list, so a
+  CPU box can produce a TPU serving artifact and vice versa.
+
+``export_predictor`` / ``load_predictor`` are the file-level API; the
+CLI exposes them as ``cultionet-tpu export``.
+"""
+
+import datetime
+import json
+import typing as T
+import zipfile
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.batch import Batch
+from .enums import InferenceNames
+from .train.precision import cast_floating, resolve_dtype
+
+# Bump when the serve-fn calling convention (inputs/outputs) changes.
+SERVE_ABI_VERSION = 1
+
+_PROGRAM_NAME = "program.bin"
+_META_NAME = "meta.json"
+
+OUTPUT_NAMES = (
+    str(InferenceNames.DISTANCE),
+    str(InferenceNames.EDGE),
+    str(InferenceNames.CROP),
+)
+
+
+def build_serve_fn(
+    state,
+    norm_mean: T.Optional[np.ndarray] = None,
+    norm_std: T.Optional[np.ndarray] = None,
+    precision: str = "bf16",
+) -> T.Callable:
+    """Close the full predict program over a trained state.
+
+    ``serve_fn(x, lat, lon)`` takes int16 (B, T, H, W, C) chips scaled by
+    10,000 (the on-disk / wire format) and returns float32
+    ``(distance, edge, crop)`` rasters. Params and norm stats are
+    captured as closure constants so ``jax.export`` serializes them into
+    the program.
+    """
+    compute_dtype = resolve_dtype(precision)
+    run_params = cast_floating(state.params, compute_dtype)
+    run_stats = cast_floating(state.batch_stats, compute_dtype)
+    apply_fn = state.apply_fn
+    mean = None if norm_mean is None else np.asarray(norm_mean, np.float32)
+    std = None if norm_std is None else np.asarray(norm_std, np.float32)
+
+    def serve_fn(x, lat, lon):
+        batch = Batch(x=x, lat=lat, lon=lon).dequantize()
+        if mean is not None:
+            m = jnp.asarray(mean, batch.x.dtype)
+            s = jnp.asarray(std, batch.x.dtype)
+            batch = batch.replace(x=(batch.x - m) / s)
+        batch = batch.replace(x=batch.x.astype(compute_dtype))
+        outputs = apply_fn(
+            {"params": run_params, "batch_stats": run_stats},
+            batch,
+            training=False,
+        )
+        return tuple(
+            outputs[name].astype(jnp.float32) for name in OUTPUT_NAMES
+        )
+
+    return serve_fn
+
+
+def export_state(
+    state,
+    out_file: T.Union[str, Path],
+    *,
+    in_time: int,
+    in_channels: int,
+    batch_size: int = 8,
+    chip_size: int = 100,
+    precision: str = "bf16",
+    norm_mean: T.Optional[np.ndarray] = None,
+    norm_std: T.Optional[np.ndarray] = None,
+    platforms: T.Optional[T.Sequence[str]] = None,
+    extra_meta: T.Optional[dict] = None,
+) -> Path:
+    """Export a trained state as a serving artifact (zip archive).
+
+    The archive holds the serialized StableHLO program plus a JSON
+    manifest of the calling convention. Shapes are static (the TPU
+    compilation model): one artifact per (batch, chip) geometry; export
+    several if the serving tier mixes geometries.
+    """
+    if platforms is None:
+        platforms = [jax.default_backend()]
+    serve_fn = build_serve_fn(
+        state, norm_mean=norm_mean, norm_std=norm_std, precision=precision
+    )
+    x_spec = jax.ShapeDtypeStruct(
+        (batch_size, in_time, chip_size, chip_size, in_channels), jnp.int16
+    )
+    coord_spec = jax.ShapeDtypeStruct((batch_size,), jnp.float32)
+    exported = jax.export.export(
+        jax.jit(serve_fn), platforms=list(platforms)
+    )(x_spec, coord_spec, coord_spec)
+
+    meta = {
+        "abi_version": SERVE_ABI_VERSION,
+        "platforms": list(platforms),
+        "precision": precision,
+        "inputs": {
+            "x": {"shape": list(x_spec.shape), "dtype": "int16",
+                  "scale": 10000},
+            "lat": {"shape": [batch_size], "dtype": "float32"},
+            "lon": {"shape": [batch_size], "dtype": "float32"},
+        },
+        "outputs": list(OUTPUT_NAMES),
+        "normalized": norm_mean is not None,
+        "created": datetime.datetime.now().isoformat(timespec="seconds"),
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+
+    out_path = Path(out_file)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(_PROGRAM_NAME, bytes(exported.serialize()))
+        zf.writestr(_META_NAME, json.dumps(meta, indent=2))
+    return out_path
+
+
+def export_predictor(
+    ckpt_dir: T.Union[str, Path],
+    out_file: T.Union[str, Path],
+    *,
+    batch_size: int = 8,
+    chip_size: int = 100,
+    precision: str = "bf16",
+    which: str = "best",
+    norm_file: T.Optional[T.Union[str, Path]] = None,
+    platforms: T.Optional[T.Sequence[str]] = None,
+) -> Path:
+    """Load a checkpoint store + norm sidecar and export it for serving."""
+    from .model import _load_state
+    from .utils.normalize import NormValues
+
+    state, _, meta = _load_state(Path(ckpt_dir), which=which)
+    hp = dict(meta.get("hyperparams", {}))
+    norm_mean = norm_std = None
+    if norm_file is not None and Path(norm_file).is_file():
+        norm = NormValues.from_file(norm_file)
+        norm_mean, norm_std = norm.dataset_mean, norm.dataset_std
+    return export_state(
+        state,
+        out_file,
+        in_time=int(hp.get("in_time", 12)),
+        in_channels=int(hp.get("in_channels", 3)),
+        batch_size=batch_size,
+        chip_size=chip_size,
+        precision=precision,
+        norm_mean=norm_mean,
+        norm_std=norm_std,
+        platforms=platforms,
+        extra_meta={"hyperparams": {
+            k: v for k, v in hp.items()
+            if isinstance(v, (int, float, str, bool, list, type(None)))
+        }},
+    )
+
+
+class ExportedPredictor:
+    """A loaded serving artifact: ``pred(x, lat, lon) -> dict`` of float32
+    numpy rasters. Needs only jax — no cultionet_tpu model code runs."""
+
+    def __init__(self, exported, meta: dict):
+        self._exported = exported
+        self.meta = meta
+        self.batch_size = int(meta["inputs"]["x"]["shape"][0])
+
+    def __call__(
+        self,
+        x: np.ndarray,
+        lat: T.Optional[np.ndarray] = None,
+        lon: T.Optional[np.ndarray] = None,
+    ) -> T.Dict[str, np.ndarray]:
+        b = x.shape[0]
+        if lat is None:
+            lat = np.zeros((b,), np.float32)
+        if lon is None:
+            lon = np.zeros((b,), np.float32)
+        outs = self._exported.call(
+            np.asarray(x, np.int16),
+            np.asarray(lat, np.float32),
+            np.asarray(lon, np.float32),
+        )
+        return {
+            name: np.asarray(val)
+            for name, val in zip(self.meta["outputs"], outs)
+        }
+
+
+def load_predictor(path: T.Union[str, Path]) -> ExportedPredictor:
+    with zipfile.ZipFile(Path(path)) as zf:
+        meta = json.loads(zf.read(_META_NAME).decode())
+        if meta.get("abi_version") != SERVE_ABI_VERSION:
+            raise ValueError(
+                f"Artifact ABI {meta.get('abi_version')} != "
+                f"supported {SERVE_ABI_VERSION}"
+            )
+        exported = jax.export.deserialize(bytearray(zf.read(_PROGRAM_NAME)))
+    return ExportedPredictor(exported, meta)

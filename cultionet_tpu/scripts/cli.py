@@ -61,6 +61,7 @@ SUBCOMMAND_GROUPS = {
     CLISteps.PREDICT_TRANSFER: ["shared_project", "shared_dates", "predict"],
     CLISteps.SKFOLDCV: ["shared_project", "shared_model", "train", "skfoldcv"],
     CLISteps.IMPORT_TORCH: ["shared_project", "shared_model", "import_torch"],
+    CLISteps.EXPORT: ["shared_project", "export"],
     CLISteps.VERSION: [],
 }
 
@@ -666,6 +667,35 @@ def predict_image(args: argparse.Namespace, transfer: bool = False) -> None:
     logger.info(f"Wrote {written}")
 
 
+def export_model(args: argparse.Namespace) -> None:
+    """Export the trained model as a self-contained StableHLO serving
+    artifact (params + norm stats baked in; see cultionet_tpu/export.py).
+    The reference has no counterpart — serving it requires the full
+    torch/Lightning stack (reference model.py:331-404)."""
+    from ..export import export_predictor
+
+    ppaths = setup_paths(args.project_path)
+    log_command(ppaths, args)
+
+    stem = Path(ppaths.ckpt_file).stem
+    ckpt_dir = Path(ppaths.ckpt_file).parent / f"{stem}_store"
+    out_path = Path(
+        args.out_path
+        or Path(ppaths.ckpt_file).parent / f"serve_{args.which_ckpt}.cnx"
+    )
+    written = export_predictor(
+        ckpt_dir,
+        out_path,
+        batch_size=args.export_batch_size,
+        chip_size=args.chip_size,
+        precision=args.precision,
+        which=args.which_ckpt,
+        norm_file=Path(str(ppaths.norm_file) + ".npz"),
+        platforms=args.platform,
+    )
+    logger.info(f"Wrote {written}")
+
+
 def import_torch(args: argparse.Namespace) -> None:
     """Convert a reference PyTorch (Lightning) checkpoint into this
     framework's orbax checkpoint store, ready for `predict` /
@@ -815,6 +845,8 @@ def main() -> None:
         create_predict(args)
     elif args.command == CLISteps.IMPORT_TORCH:
         import_torch(args)
+    elif args.command == CLISteps.EXPORT:
+        export_model(args)
     elif args.command == CLISteps.TRAIN:
         train_model(args)
     elif args.command == CLISteps.TRAIN_TRANSFER:

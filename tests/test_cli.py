@@ -127,6 +127,34 @@ def test_cli_full_pipeline(tmp_path):
     raster = np.load(out)["raster"]
     assert raster.shape == (3, 64, 64)
 
+    # Serving export: artifact loads and runs with nothing but jax
+    run_cli(
+        [
+            "export",
+            "-p",
+            str(project),
+            "--export-batch-size",
+            "1",
+            "--chip-size",
+            "48",
+            "--precision",
+            "fp32",
+            "--platform",
+            "cpu",
+        ]
+    )
+    artifact = project / "ckpt" / "serve_best.cnx"
+    assert artifact.exists()
+    from cultionet_tpu.export import load_predictor
+
+    pred = load_predictor(artifact)
+    x_shape = tuple(pred.meta["inputs"]["x"]["shape"])
+    rng = np.random.default_rng(3)
+    served = pred(rng.integers(0, 10000, size=x_shape, dtype=np.int16))
+    assert served["crop"].shape[1:3] == (48, 48)
+    assert np.isfinite(served["crop"]).all()
+    assert pred.meta["normalized"] is True  # norm sidecar was baked in
+
     # Commands archived
     commands = list((project / "commands").glob("*.json"))
     assert len(commands) >= 4
