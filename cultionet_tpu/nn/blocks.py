@@ -28,6 +28,12 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, training: bool = False) -> Array:
+        from ..ops.flags import identity_bn_enabled
+
+        if identity_bn_enabled():
+            # Measurement-only: bounds the BN-fold gain on the inference
+            # path (experiments/bn_fold_bench.py). No params created.
+            return x
         return nn.BatchNorm(
             use_running_average=not training,
             momentum=0.9,

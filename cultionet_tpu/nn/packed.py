@@ -128,6 +128,14 @@ def packed_batch_norm(
     array (flax dtype-promotion semantics) and the fp32 batch (mean, var)
     for the caller to write back per group when ``training``.
     """
+    from ..ops.flags import identity_bn_enabled
+
+    if identity_bn_enabled():
+        # Measurement-only knob (see ops/flags.set_identity_bn).
+        return z, (
+            jnp.zeros((z.shape[-1],), jnp.float32),
+            jnp.ones((z.shape[-1],), jnp.float32),
+        )
     scale = jnp.concatenate([b[0] for b in bns])
     bias = jnp.concatenate([b[1] for b in bns])
     if training:

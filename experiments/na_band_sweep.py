@@ -5,9 +5,10 @@ With attention dropout the fwd and bwd kernels share one band partition
 times fwd+bwd per model NA site via the scan-delta probe for a range of
 band sizes to pick the constant (or a per-shape rule) empirically.
 
-Usage: python experiments/na_band_sweep.py
+Usage: python experiments/na_band_sweep.py [--hidden 32] [--bs 32]
 """
 
+import argparse
 import json
 import sys
 import time
@@ -52,7 +53,24 @@ def main():
     from cultionet_tpu.models.unet_parts import NATTEN_PARAMS
     from cultionet_tpu.ops import natten_pallas
 
-    bs, h = 32, 32
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hidden", type=int, default=32)
+    ap.add_argument("--bs", type=int, default=32)
+    ap.add_argument(
+        "--out", default="",
+        help="result JSON (default experiments/na_band_sweep.json for "
+        "h32, ..._h<h>.json otherwise)",
+    )
+    args = ap.parse_args()
+    bs, h = args.bs, args.hidden
+    out_path = Path(
+        args.out
+        or (
+            "experiments/na_band_sweep.json"
+            if h == 32
+            else f"experiments/na_band_sweep_h{h}.json"
+        )
+    )
     drop = 0.1
     sites = [
         ("enc_a", 100, 100, h, "a"),
@@ -101,9 +119,7 @@ def main():
         results[name] = row
         print(name, row, flush=True)
     natten_pallas._BWD_BAND_PX = 2048
-    Path("experiments/na_band_sweep.json").write_text(
-        json.dumps(results, indent=1)
-    )
+    out_path.write_text(json.dumps(results, indent=1))
     print(json.dumps({k: v for k, v in results.items()}, indent=1))
 
 
