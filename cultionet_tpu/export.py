@@ -14,8 +14,10 @@ self-contained StableHLO artifact:
   no norm sidecar);
 * the input contract is the wire format (int16 x 10000 chips, half the
   bytes of float32) plus the (B,) chip-centroid lat/lon vectors;
-* the program is compiled for an explicit target platform list, so a
-  CPU box can produce a TPU serving artifact and vice versa.
+* the program is compiled for an explicit target platform list, with
+  kernel dispatch (Pallas vs XLA) following the *target* platform, not
+  the exporting host's backend: a pure-TPU target bakes the fast Mosaic
+  kernels, any other target list bakes portable XLA-only programs.
 
 ``export_predictor`` / ``load_predictor`` are the file-level API; the
 CLI exposes them as ``cultionet-tpu export``.
@@ -33,10 +35,21 @@ import numpy as np
 
 from .data.batch import Batch
 from .enums import InferenceNames
+from .ops.flags import force_kernel_platform
 from .train.precision import cast_floating, resolve_dtype
+from .utils.logging import set_color_logger
+
+logger = set_color_logger(__name__)
 
 # Bump when the serve-fn calling convention (inputs/outputs) changes.
 SERVE_ABI_VERSION = 1
+
+# The serve program must sanitize wire inputs exactly like the training /
+# predict pipeline (ChipDataset._scale, data/datasets.py:102-112,142):
+# negative nodata sentinels and >10000 int16 values are clipped, not fed
+# to the model.
+CLIP_MIN = 1e-9
+CLIP_MAX = 1.0
 
 _PROGRAM_NAME = "program.bin"
 _META_NAME = "meta.json"
@@ -53,6 +66,7 @@ def build_serve_fn(
     norm_mean: T.Optional[np.ndarray] = None,
     norm_std: T.Optional[np.ndarray] = None,
     precision: str = "bf16",
+    log_transform: bool = False,
 ) -> T.Callable:
     """Close the full predict program over a trained state.
 
@@ -60,7 +74,9 @@ def build_serve_fn(
     10,000 (the on-disk / wire format) and returns float32
     ``(distance, edge, crop)`` rasters. Params and norm stats are
     captured as closure constants so ``jax.export`` serializes them into
-    the program.
+    the program. Input sanitization mirrors the dataset pipeline exactly
+    (data/datasets.py:139-162): dequantize -> clip -> optional Dynamic
+    World log transform -> z-score normalization.
     """
     compute_dtype = resolve_dtype(precision)
     run_params = cast_floating(state.params, compute_dtype)
@@ -71,11 +87,14 @@ def build_serve_fn(
 
     def serve_fn(x, lat, lon):
         batch = Batch(x=x, lat=lat, lon=lon).dequantize()
+        vals = jnp.clip(batch.x, CLIP_MIN, CLIP_MAX)
+        if log_transform:
+            vals = jnp.maximum(jnp.log(vals * 50.0 + 1.0), CLIP_MIN)
         if mean is not None:
-            m = jnp.asarray(mean, batch.x.dtype)
-            s = jnp.asarray(std, batch.x.dtype)
-            batch = batch.replace(x=(batch.x - m) / s)
-        batch = batch.replace(x=batch.x.astype(compute_dtype))
+            m = jnp.asarray(mean, vals.dtype)
+            s = jnp.asarray(std, vals.dtype)
+            vals = (vals - m) / s
+        batch = batch.replace(x=vals.astype(compute_dtype))
         outputs = apply_fn(
             {"params": run_params, "batch_stats": run_stats},
             batch,
@@ -99,6 +118,7 @@ def export_state(
     precision: str = "bf16",
     norm_mean: T.Optional[np.ndarray] = None,
     norm_std: T.Optional[np.ndarray] = None,
+    log_transform: bool = False,
     platforms: T.Optional[T.Sequence[str]] = None,
     extra_meta: T.Optional[dict] = None,
 ) -> Path:
@@ -112,28 +132,60 @@ def export_state(
     if platforms is None:
         platforms = [jax.default_backend()]
     serve_fn = build_serve_fn(
-        state, norm_mean=norm_mean, norm_std=norm_std, precision=precision
+        state,
+        norm_mean=norm_mean,
+        norm_std=norm_std,
+        precision=precision,
+        log_transform=log_transform,
     )
     x_spec = jax.ShapeDtypeStruct(
         (batch_size, in_time, chip_size, chip_size, in_channels), jnp.int16
     )
     coord_spec = jax.ShapeDtypeStruct((batch_size,), jnp.float32)
-    exported = jax.export.export(
-        jax.jit(serve_fn), platforms=list(platforms)
-    )(x_spec, coord_spec, coord_spec)
+    # Kernel dispatch must follow the *target* platform list, not the
+    # exporting host's backend: Mosaic custom calls only run on TPU, and
+    # a multi-platform artifact has to stay XLA-only.
+    kernel_target = "tpu" if list(platforms) == ["tpu"] else "cpu"
+
+    def _export_with(target: str):
+        with force_kernel_platform(target):
+            return jax.export.export(
+                jax.jit(serve_fn), platforms=list(platforms)
+            )(x_spec, coord_spec, coord_spec)
+
+    try:
+        exported = _export_with(kernel_target)
+    except Exception as exc:
+        if kernel_target != "tpu":
+            raise
+        # Mosaic custom calls may be rejected by jax.export's stability
+        # checks depending on the jax version; the XLA-only program is
+        # portable and always exportable.
+        logger.warning(
+            f"Pallas kernels not exportable ({type(exc).__name__}: {exc}); "
+            "falling back to an XLA-only program"
+        )
+        kernel_target = "cpu"
+        exported = _export_with(kernel_target)
 
     meta = {
         "abi_version": SERVE_ABI_VERSION,
         "platforms": list(platforms),
+        "kernels": "pallas" if kernel_target == "tpu" else "xla",
         "precision": precision,
         "inputs": {
             "x": {"shape": list(x_spec.shape), "dtype": "int16",
-                  "scale": 10000},
+                  "scale": 10000, "clip": [CLIP_MIN, CLIP_MAX]},
             "lat": {"shape": [batch_size], "dtype": "float32"},
             "lon": {"shape": [batch_size], "dtype": "float32"},
         },
+        "coords": (
+            "required: the model embeds chip-centroid lat/lon on the unit "
+            "sphere (GeoEmbeddings); (0, 0) is a real location, not a null"
+        ),
         "outputs": list(OUTPUT_NAMES),
         "normalized": norm_mean is not None,
+        "log_transform": bool(log_transform),
         "created": datetime.datetime.now().isoformat(timespec="seconds"),
     }
     if extra_meta:
@@ -156,18 +208,65 @@ def export_predictor(
     precision: str = "bf16",
     which: str = "best",
     norm_file: T.Optional[T.Union[str, Path]] = None,
+    log_transform: T.Optional[bool] = None,
+    allow_unnormalized: bool = False,
     platforms: T.Optional[T.Sequence[str]] = None,
 ) -> Path:
-    """Load a checkpoint store + norm sidecar and export it for serving."""
+    """Load a checkpoint store + norm sidecar and export it for serving.
+
+    The exported program must reproduce the training-time input pipeline
+    exactly, so the two data-pipeline flags are resolved defensively:
+
+    * ``log_transform``: taken from the checkpoint's recorded hyperparams
+      (fit.py persists it); ``None`` with a checkpoint that predates the
+      record is an error — serving a log-trained model without the
+      transform produces silent garbage.
+    * missing norm stats: an error unless the checkpoint records that the
+      model was trained unnormalized, or ``allow_unnormalized=True``
+      explicitly accepts exporting a z-score-less program.
+    """
     from .model import _load_state
     from .utils.normalize import NormValues
 
     state, _, meta = _load_state(Path(ckpt_dir), which=which)
     hp = dict(meta.get("hyperparams", {}))
+
+    if log_transform is None:
+        if "log_transform" in hp:
+            log_transform = bool(hp["log_transform"])
+        else:
+            raise ValueError(
+                "This checkpoint predates log_transform tracking, so the "
+                "training-time input pipeline is unknown. Re-export with an "
+                "explicit choice: --log-transform yes|no "
+                "(log_transform=True/False)."
+            )
+
     norm_mean = norm_std = None
     if norm_file is not None and Path(norm_file).is_file():
         norm = NormValues.from_file(norm_file)
         norm_mean, norm_std = norm.dataset_mean, norm.dataset_std
+    if norm_mean is None and hp.get("normalized_input") is not False:
+        # Either the model was norm-trained (normalized_input=True) or the
+        # checkpoint predates the record — silently baking no normalization
+        # would serve garbage for a norm-trained model.
+        msg = (
+            f"No normalization sidecar found (norm_file={norm_file}); the "
+            "checkpoint "
+            + (
+                "records normalized training input"
+                if hp.get("normalized_input")
+                else "does not record whether training input was normalized"
+            )
+            + ". Exporting without z-score normalization diverges from the "
+            "training pipeline."
+        )
+        if not allow_unnormalized:
+            raise ValueError(
+                msg + " Pass --allow-unnormalized (allow_unnormalized=True) "
+                "to export anyway."
+            )
+        logger.warning(msg + " Proceeding because allow_unnormalized=True.")
     return export_state(
         state,
         out_file,
@@ -178,6 +277,7 @@ def export_predictor(
         precision=precision,
         norm_mean=norm_mean,
         norm_std=norm_std,
+        log_transform=log_transform,
         platforms=platforms,
         extra_meta={"hyperparams": {
             k: v for k, v in hp.items()
@@ -200,8 +300,19 @@ class ExportedPredictor:
         x: np.ndarray,
         lat: T.Optional[np.ndarray] = None,
         lon: T.Optional[np.ndarray] = None,
+        *,
+        fill_coords: bool = False,
     ) -> T.Dict[str, np.ndarray]:
         b = x.shape[0]
+        if (lat is None or lon is None) and not fill_coords:
+            raise ValueError(
+                "lat/lon chip centroids are required: the model embeds "
+                "coordinates on the unit sphere (GeoEmbeddings, "
+                "models/unet_parts.py) and (0, 0) is a real location — "
+                "zero-filling silently skews predictions for models with "
+                "learned geographic priors. Pass fill_coords=True to "
+                "explicitly serve with zero coordinates."
+            )
         if lat is None:
             lat = np.zeros((b,), np.float32)
         if lon is None:

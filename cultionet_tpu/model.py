@@ -61,9 +61,15 @@ def _load_state(
     hp = dict(meta["hyperparams"])
 
     in_channels = hp.pop("in_channels", 3)
-    hp.pop("edge_class", None)
-    hp.pop("loss_name", None)
-    model = CultioNet(**hp)
+    # The hyperparams record also carries non-model keys (loss/pipeline
+    # flags like log_transform, normalized_input — consumed by export.py);
+    # construct the model only from its actual dataclass fields.
+    import dataclasses
+
+    model_fields = {
+        f.name for f in dataclasses.fields(CultioNet) if f.name != "parent"
+    }
+    model = CultioNet(**{k: v for k, v in hp.items() if k in model_fields})
 
     init_batch = create_batch(
         num_channels=in_channels,

@@ -1,5 +1,6 @@
 """Runtime feature flags for kernel dispatch."""
 
+import contextlib
 import os
 import typing as T
 
@@ -53,6 +54,45 @@ def pallas_temporal_enabled() -> bool:
         return jax.devices()[0].platform == "tpu"
     except RuntimeError:
         return False
+
+
+_IDENTITY_BN: bool = False
+
+
+def set_identity_bn(enabled: bool) -> None:
+    """Replace every BatchNorm with identity (params not created).
+
+    Measurement-only knob: bounds the possible gain of folding BN into
+    conv weights on the inference path (experiments/bn_fold_bench.py).
+    Never enable for real training/predict — outputs are wrong.
+    """
+    global _IDENTITY_BN
+    _IDENTITY_BN = bool(enabled)
+
+
+def identity_bn_enabled() -> bool:
+    return _IDENTITY_BN
+
+
+@contextlib.contextmanager
+def force_kernel_platform(platform: str):
+    """Pin Pallas-vs-XLA kernel dispatch to a *target* platform for the
+    duration of the block.
+
+    Used by serving export (export.py): ``jax.export`` traces on the local
+    backend, but the artifact runs on the platform list the caller named —
+    a TPU host exporting for CPU must not bake Mosaic custom calls, and a
+    CPU host exporting for TPU should bake the fast Pallas kernels, so
+    dispatch has to follow the target, not ``jax.devices()``.
+    """
+    global _USE_PALLAS_NATTEN, _USE_PALLAS_TEMPORAL
+    prev = (_USE_PALLAS_NATTEN, _USE_PALLAS_TEMPORAL)
+    _USE_PALLAS_NATTEN = platform == "tpu"
+    _USE_PALLAS_TEMPORAL = platform == "tpu"
+    try:
+        yield
+    finally:
+        _USE_PALLAS_NATTEN, _USE_PALLAS_TEMPORAL = prev
 
 
 _USE_PACKED_RESA: T.Optional[bool] = None

@@ -683,6 +683,9 @@ def export_model(args: argparse.Namespace) -> None:
         args.out_path
         or Path(ppaths.ckpt_file).parent / f"serve_{args.which_ckpt}.cnx"
     )
+    log_transform = {"auto": None, "yes": True, "no": False}[
+        getattr(args, "log_transform_mode", "auto")
+    ]
     written = export_predictor(
         ckpt_dir,
         out_path,
@@ -691,6 +694,8 @@ def export_model(args: argparse.Namespace) -> None:
         precision=args.precision,
         which=args.which_ckpt,
         norm_file=Path(str(ppaths.norm_file) + ".npz"),
+        log_transform=log_transform,
+        allow_unnormalized=getattr(args, "allow_unnormalized", False),
         platforms=args.platform,
     )
     logger.info(f"Wrote {written}")

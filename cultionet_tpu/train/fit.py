@@ -506,6 +506,12 @@ def fit(
         "in_channels": params.in_channels,
         "edge_class": params.edge_class,
         "loss_name": str(params.loss_name),
+        # Data-pipeline flags the serving export must reproduce exactly
+        # (export.py resolves both from here; ADVICE r4): a log-trained
+        # model served without the transform, or a norm-trained model
+        # served unnormalized, is silent garbage.
+        "log_transform": bool(train_ds.log_transform),
+        "normalized_input": train_ds.norm_values is not None,
     }
     if params.ckpt_file is not None:
         # Store directory derives from the checkpoint name so transfer runs
