@@ -8,8 +8,13 @@ from pathlib import Path
 import numpy as np
 
 
-def predict_scene(golden_dir: Path, batch_size: int = 4) -> np.ndarray:
-    """Checkpoint + frozen scene -> stitched 3-band uint16 raster."""
+def predict_scene(
+    golden_dir: Path, batch_size: int = 4, scene_dir: Path = None
+) -> np.ndarray:
+    """Checkpoint + frozen scene -> stitched 3-band uint16 raster.
+
+    ``scene_dir`` overrides where scene.npz lives (the transformer golden
+    shares the conv fixture's scene cube)."""
     from cultionet_tpu.data.create import create_predict_dataset
     from cultionet_tpu.data.datasets import ChipDataset
     from cultionet_tpu.model import load_model
@@ -17,7 +22,8 @@ def predict_scene(golden_dir: Path, batch_size: int = 4) -> np.ndarray:
     from cultionet_tpu.data.constant import SCALE_FACTOR
 
     golden_dir = Path(golden_dir)
-    with np.load(golden_dir / "scene.npz", allow_pickle=False) as data:
+    scene_dir = golden_dir if scene_dir is None else Path(scene_dir)
+    with np.load(scene_dir / "scene.npz", allow_pickle=False) as data:
         x = data["x"].astype(np.float32) / SCALE_FACTOR
 
     state, _ = load_model(golden_dir / "ckpt" / "last_store", which="last")
