@@ -408,6 +408,44 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: hidden=64 block failed: {exc!r}", file=sys.stderr)
 
+    # ---- Exported serving artifact rate (StableHLO program with baked
+    # params; should match the in-process predict step — export.py) ----
+    export_served_chips_per_sec = 0.0
+    try:
+        if _over_budget("export-served"):
+            raise TimeoutError("budget")
+        from cultionet_tpu.export import export_state, load_predictor
+        from cultionet_tpu.utils.timing import best_of
+
+        artifact = export_state(
+            state,
+            "/tmp/bench_export.cnx",
+            in_time=12,
+            in_channels=3,
+            batch_size=batch_size,
+            chip_size=100,
+            precision=precision,
+            platforms=[platform],
+        )
+        pred = load_predictor(artifact)
+        x_wire = np.asarray(batch.x)
+        lat_wire = np.asarray(batch.lat, np.float32)
+        lon_wire = np.asarray(batch.lon, np.float32)
+        out = pred(x_wire, lat_wire, lon_wire)  # compile + run
+        assert np.isfinite(out["crop"]).all()
+        xd = jax.device_put(x_wire)
+        latd = jax.device_put(lat_wire)
+        lond = jax.device_put(lon_wire)
+        served_sec = best_of(
+            lambda: pred._exported.call(xd, latd, lond),
+            lambda o: float(np.asarray(o[0]).sum()),
+            n_iters=20,
+            repeats=3,
+        )
+        export_served_chips_per_sec = batch_size / served_sec
+    except Exception as exc:
+        print(f"bench: export-served block failed: {exc!r}", file=sys.stderr)
+
     # ---- Fused whole-scene predict (config #5: scene resident in HBM,
     # one compiled lax.scan; chips/s counts novel 100x100 tiles) ----
     scene_chips_per_sec = scene_wall_s = 0.0
@@ -454,6 +492,9 @@ def main() -> None:
                     ),
                     "predict_fwd_chips_per_sec": round(
                         predict_chips_per_sec, 3
+                    ),
+                    "export_served_chips_per_sec": round(
+                        export_served_chips_per_sec, 3
                     ),
                     "step_time_ms": round(step_time * 1e3, 3),
                     "flops_per_step": flops_per_step,
