@@ -11,8 +11,11 @@ Run on the TPU (no JAX_PLATFORMS override). Writes export_bench.json.
 """
 
 import json
+import sys
 import time
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import numpy as np
