@@ -22,6 +22,21 @@ import jax
 # config level too.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite compiles hundreds of XLA CPU
+# programs, many identical across tests and across runs (same model
+# shapes). A warm cache turns the fast tier from ~27 min into single
+# digits on this 1-core host; CI restores it via actions/cache.
+try:
+    from pathlib import Path
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent.parent / ".jax_test_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 import numpy as np
 import pytest
 

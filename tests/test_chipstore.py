@@ -111,6 +111,7 @@ def test_packed_v2_roundtrip(tmp_path):
     store.close()
 
 
+@pytest.mark.slow
 def test_packed_prefetch_and_train_step(tmp_path):
     """Prefetched packed batches feed the jitted train step directly
     (dequantization happens inside the compiled step)."""

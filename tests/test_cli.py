@@ -56,6 +56,7 @@ def test_parser_builds():
     assert args.command == "train"
 
 
+@pytest.mark.slow
 def test_cli_full_pipeline(tmp_path):
     project = make_project(tmp_path)
 
@@ -150,7 +151,12 @@ def test_cli_full_pipeline(tmp_path):
     pred = load_predictor(artifact)
     x_shape = tuple(pred.meta["inputs"]["x"]["shape"])
     rng = np.random.default_rng(3)
-    served = pred(rng.integers(0, 10000, size=x_shape, dtype=np.int16))
+    # coords are required by default (GeoEmbeddings: (0,0) is a real
+    # location) — synthetic check opts into zero-fill explicitly.
+    served = pred(
+        rng.integers(0, 10000, size=x_shape, dtype=np.int16),
+        fill_coords=True,
+    )
     assert served["crop"].shape[1:3] == (48, 48)
     assert np.isfinite(served["crop"]).all()
     assert pred.meta["normalized"] is True  # norm sidecar was baked in
@@ -163,6 +169,7 @@ def test_cli_full_pipeline(tmp_path):
     assert info == {"max_crop_class": 1, "edge_class": 2}
 
 
+@pytest.mark.slow
 def test_cli_profiler_trace(tmp_path):
     """--profiler wraps fit in jax.profiler.trace and writes an xplane
     capture (reference: Lightning profiler pass-through, model.py:97)."""
@@ -195,6 +202,7 @@ def test_cli_version(capsys):
     assert captured.out.strip()
 
 
+@pytest.mark.slow
 def test_cli_transfer_pipeline(tmp_path):
     """train-transfer fine-tunes from the plain train run's last_store and
     writes its own last_transfer_store; predict-transfer loads that store

@@ -224,6 +224,7 @@ def test_named_spatial_partitions(tmp_path):
         assert len(tr) == 3 and len(va) == 3
 
 
+@pytest.mark.slow
 def test_fit_with_partition_split(tmp_path):
     """fit() consumes spatial_partitions as the PATH it is typed as."""
     from cultionet_tpu.config import CultionetParams
@@ -266,6 +267,7 @@ def test_preload_dataset_parity(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_predict_profile_from_reference_image(tmp_path):
     """--reference-image stamps the output bounds/CRS from a source tif
     (reference callbacks.py:85-107)."""

@@ -21,6 +21,8 @@ from cultionet_tpu.data.label_math import (
     polygons_to_array,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def square_polygon(x0, y0, x1, y1):
     return np.asarray(

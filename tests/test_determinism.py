@@ -9,6 +9,9 @@ import numpy as np
 from cultionet_tpu.data.synthetic import create_batch
 from cultionet_tpu.enums import AttentionTypes, InferenceNames
 from cultionet_tpu.models import CultioNet
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_forward_is_deterministic():

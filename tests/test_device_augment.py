@@ -6,6 +6,9 @@ import numpy as np
 
 from cultionet_tpu.augment.device import augment_batch_on_device
 from cultionet_tpu.data.synthetic import create_batch
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_dihedral_preserves_pixel_sets():

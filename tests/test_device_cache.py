@@ -26,6 +26,8 @@ from cultionet_tpu.enums import LossTypes
 from cultionet_tpu.model import fit
 from cultionet_tpu.utils.normalize import NormValues
 
+pytestmark = pytest.mark.slow
+
 
 def _write_chips(tmp_path, num=8, seed=5):
     rng = np.random.default_rng(seed)

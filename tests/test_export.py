@@ -236,6 +236,7 @@ def norm_npz(tmp_path_factory):
     return path
 
 
+@pytest.mark.slow
 def test_export_predictor_roundtrip(ckpt_store, norm_npz, tmp_path):
     out = export_predictor(
         ckpt_store,
@@ -257,6 +258,7 @@ def test_export_predictor_roundtrip(ckpt_store, norm_npz, tmp_path):
     assert np.isfinite(res["crop"]).all()
 
 
+@pytest.mark.slow
 def test_export_predictor_missing_norm_raises(ckpt_store, tmp_path):
     """A norm-trained model with no sidecar must refuse to export
     (ADVICE r4: silent unnormalized export serves garbage)."""
@@ -273,6 +275,7 @@ def test_export_predictor_missing_norm_raises(ckpt_store, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_export_predictor_allow_unnormalized(ckpt_store, tmp_path):
     out = export_predictor(
         ckpt_store,
@@ -288,6 +291,7 @@ def test_export_predictor_allow_unnormalized(ckpt_store, tmp_path):
     assert load_predictor(out).meta["normalized"] is False
 
 
+@pytest.mark.slow
 def test_export_predictor_unknown_log_transform_raises(
     tiny_state, tmp_path
 ):

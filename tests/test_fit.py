@@ -13,6 +13,8 @@ from cultionet_tpu.data import ChipDataset, create_batch
 from cultionet_tpu.enums import LossTypes
 from cultionet_tpu.model import fit, fit_transfer, load_model, predict
 
+pytestmark = pytest.mark.slow
+
 
 def write_dataset(tmp_path, num=10, seed=100):
     rng = np.random.default_rng(seed)

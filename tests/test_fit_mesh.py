@@ -11,6 +11,8 @@ from cultionet_tpu.data import ChipDataset, create_batch
 from cultionet_tpu.enums import LossTypes
 from cultionet_tpu.model import fit
 
+pytestmark = pytest.mark.slow
+
 
 def write_dataset(tmp_path, num=12, seed=100):
     rng = np.random.default_rng(seed)

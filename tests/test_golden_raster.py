@@ -17,10 +17,13 @@ import pytest
 GOLDEN = Path(__file__).parent / "data" / "golden"
 GOLDEN_T = Path(__file__).parent / "data" / "golden_transformer"
 
-pytestmark = pytest.mark.skipif(
-    not (GOLDEN / "golden.tif").is_file(),
-    reason="golden fixtures not generated",
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not (GOLDEN / "golden.tif").is_file(),
+        reason="golden fixtures not generated",
+    ),
+]
 
 
 def encoder_dirs():

@@ -3,6 +3,9 @@
 import subprocess
 import sys
 from pathlib import Path
+import pytest
+
+pytestmark = pytest.mark.slow
 
 REPO = Path(__file__).parent.parent
 

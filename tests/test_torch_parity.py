@@ -68,6 +68,7 @@ def _build_pair(attention_weights: str):
 @pytest.mark.parametrize(
     "attention_weights", ["natten", "spatial_channel"]
 )
+@pytest.mark.slow
 def test_full_model_forward_parity(attention_weights):
     """Reference TowerUNet vs this framework, transferred weights, fp32."""
     tm, jm, new_vars, x, xj = _build_pair(attention_weights)
@@ -211,6 +212,7 @@ def test_block_parity_conv_transpose_stride4():
         )
 
 
+@pytest.mark.slow
 def test_import_torch_cli_roundtrip(tmp_path):
     """`import-torch` converts a reference Lightning checkpoint into an
     orbax store that load_model can serve, with forward parity."""
