@@ -417,17 +417,18 @@ def main() -> None:
         from cultionet_tpu.export import export_state, load_predictor
         from cultionet_tpu.utils.timing import best_of
 
-        artifact = export_state(
-            state,
-            "/tmp/bench_export.cnx",
-            in_time=12,
-            in_channels=3,
-            batch_size=batch_size,
-            chip_size=100,
-            precision=precision,
-            platforms=[platform],
-        )
-        pred = load_predictor(artifact)
+        with tempfile.TemporaryDirectory() as export_tmp:
+            artifact = export_state(
+                state,
+                Path(export_tmp) / "bench_export.cnx",
+                in_time=12,
+                in_channels=3,
+                batch_size=batch_size,
+                chip_size=100,
+                precision=precision,
+                platforms=[platform],
+            )
+            pred = load_predictor(artifact)
         x_wire = np.asarray(batch.x)
         lat_wire = np.asarray(batch.lat, np.float32)
         lon_wire = np.asarray(batch.lon, np.float32)
@@ -437,7 +438,7 @@ def main() -> None:
         latd = jax.device_put(lat_wire)
         lond = jax.device_put(lon_wire)
         served_sec = best_of(
-            lambda: pred._exported.call(xd, latd, lond),
+            lambda: pred.call_on_device(xd, latd, lond),
             lambda o: float(np.asarray(o[0]).sum()),
             n_iters=20,
             repeats=3,

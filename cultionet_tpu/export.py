@@ -241,11 +241,35 @@ def export_predictor(
                 "explicit choice: --log-transform yes|no "
                 "(log_transform=True/False)."
             )
+    elif "log_transform" in hp and bool(hp["log_transform"]) != bool(
+        log_transform
+    ):
+        # An explicit choice that contradicts the recorded training
+        # pipeline would serve garbage with no diagnostic — exactly the
+        # failure class the auto mode exists to prevent.
+        raise ValueError(
+            f"Explicit log_transform={bool(log_transform)} contradicts the "
+            f"checkpoint's recorded training pipeline "
+            f"(log_transform={bool(hp['log_transform'])}). Drop the flag "
+            "(auto uses the recorded value) or re-train with the pipeline "
+            "you want to serve."
+        )
 
     norm_mean = norm_std = None
     if norm_file is not None and Path(norm_file).is_file():
         norm = NormValues.from_file(norm_file)
         norm_mean, norm_std = norm.dataset_mean, norm.dataset_std
+    if norm_mean is not None and hp.get("normalized_input") is False:
+        # The checkpoint is authoritative: this model trained on RAW
+        # inputs, so a (stale) norm sidecar from an earlier run in the
+        # same project must not be baked in.
+        logger.warning(
+            f"Ignoring norm sidecar {norm_file}: the checkpoint records "
+            "unnormalized training input (normalized_input=False) — "
+            "baking z-score normalization would diverge from the "
+            "training pipeline. Exporting unnormalized."
+        )
+        norm_mean = norm_std = None
     if norm_mean is None and hp.get("normalized_input") is not False:
         # Either the model was norm-trained (normalized_input=True) or the
         # checkpoint predates the record — silently baking no normalization
@@ -326,6 +350,12 @@ class ExportedPredictor:
             name: np.asarray(val)
             for name, val in zip(self.meta["outputs"], outs)
         }
+
+    def call_on_device(self, x, lat, lon):
+        """Run the program on already-device-resident arrays and return the
+        raw device output tuple (no host conversion, no zero-fill) — the
+        serving hot path, and the public surface benchmarks time."""
+        return self._exported.call(x, lat, lon)
 
 
 def load_predictor(path: T.Union[str, Path]) -> ExportedPredictor:

@@ -60,10 +60,13 @@ def main() -> None:
     lat = np.full((BATCH,), 45.0, np.float32)
     lon = np.full((BATCH,), -120.0, np.float32)
 
+    import tempfile
+
+    bench_tmp = tempfile.mkdtemp(prefix="export_bench_")
     t0 = time.perf_counter()
     artifact = export_state(
         state,
-        "/tmp/export_bench.cnx",
+        Path(bench_tmp) / "export_bench.cnx",
         in_time=12,
         in_channels=3,
         batch_size=BATCH,
@@ -82,7 +85,7 @@ def main() -> None:
     # (the in-process baseline's batch is device-resident too).
     xd, latd, lond = jax.device_put(x), jax.device_put(lat), jax.device_put(lon)
     served_sec = best_of(
-        lambda: pred._exported.call(xd, latd, lond),
+        lambda: pred.call_on_device(xd, latd, lond),
         lambda o: float(np.asarray(o[0]).sum()),
         n_iters=20,
         repeats=3,

@@ -330,6 +330,57 @@ def test_export_predictor_unknown_log_transform_raises(
     assert load_predictor(out).meta["log_transform"] is False
 
 
+@pytest.mark.slow
+def test_export_predictor_contradictory_log_transform_raises(
+    ckpt_store, tmp_path
+):
+    """An explicit --log-transform that contradicts the recorded training
+    pipeline must be an error, not a silent mis-export."""
+    with pytest.raises(ValueError, match="contradicts"):
+        export_predictor(
+            ckpt_store,  # records log_transform=False
+            tmp_path / "serve.cnx",
+            batch_size=2,
+            chip_size=16,
+            precision="fp32",
+            which="last",
+            log_transform=True,
+            allow_unnormalized=True,
+            platforms=["cpu"],
+        )
+
+
+@pytest.mark.slow
+def test_export_predictor_ignores_stale_norm_for_raw_trained_model(
+    tiny_state, norm_npz, tmp_path
+):
+    """A checkpoint recording normalized_input=False must NOT bake a
+    (stale) norm sidecar left behind by an earlier run in the same
+    project — the checkpoint's record is authoritative."""
+    store = tmp_path / "raw_store"
+    Checkpointer(store).save_last(
+        tiny_state,
+        epoch=0,
+        hyperparams={
+            **MODEL_HP,
+            "in_channels": 3,
+            "log_transform": False,
+            "normalized_input": False,
+        },
+    )
+    out = export_predictor(
+        store,
+        tmp_path / "serve.cnx",
+        batch_size=2,
+        chip_size=16,
+        precision="fp32",
+        which="last",
+        norm_file=norm_npz,  # stale sidecar present on disk
+        platforms=["cpu"],
+    )
+    assert load_predictor(out).meta["normalized"] is False
+
+
 def test_kernel_dispatch_follows_target_platform():
     """ADVICE r4: Pallas-vs-XLA dispatch must follow the export *target*,
     not the local backend (ops/flags.force_kernel_platform)."""
